@@ -1,0 +1,111 @@
+"""Bilinear image sampling and resizing in NHWC.
+
+Parity targets:
+  - ``F.grid_sample(..., padding_mode="border", align_corners=True)`` used by
+    the photometric warp (reference ``vo/learner_new.py:165-170``).
+  - ``F.interpolate(..., mode="bilinear", align_corners=False)`` used for
+    disparity upsampling (reference ``vo/learner_new.py:136-140``) — this is
+    exactly `jax.image.resize`'s half-pixel "linear" convention.
+  - ``upsample`` nearest x2 in the depth decoder (reference
+    ``model/layers.py`` `upsample`, used at ``model/depthnet.py:82``).
+
+The gather-based sampler below is the XLA path; a fused Pallas
+warp+SSIM kernel lives in ``ops/pallas/`` for the hot training loss.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def grid_sample(
+    image: jnp.ndarray,
+    grid: jnp.ndarray,
+    align_corners: bool = True,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Bilinear sampling of ``image`` at normalized ``grid`` locations.
+
+    Args:
+      image: [B, H, W, C].
+      grid: [B, Ho, Wo, 2] with (x, y) in [-1, 1].
+      align_corners: True matches the reference warp
+        (``vo/learner_new.py:165-170``).
+      padding_mode: "border" (clamp) or "zeros" (out-of-range reads 0).
+
+    Returns:
+      [B, Ho, Wo, C] sampled image.
+    """
+    B, H, W, C = image.shape
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (W - 1)
+        y = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        x = ((gx + 1.0) * W - 1.0) * 0.5
+        y = ((gy + 1.0) * H - 1.0) * 0.5
+
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = x0i + 1
+    y1i = y0i + 1
+
+    flat = image.reshape(B, H * W, C)
+    Bo, Ho, Wo = gx.shape
+
+    def gather(yy, xx):
+        # Per-corner validity (torch "zeros" semantics: each out-of-range
+        # corner contributes 0 to the bilinear blend). For "border" mode the
+        # coords are pre-clamped so valid is all-true and clipping is a no-op.
+        valid = (xx >= 0) & (xx <= W - 1) & (yy >= 0) & (yy <= H - 1)
+        xx = jnp.clip(xx, 0, W - 1)
+        yy = jnp.clip(yy, 0, H - 1)
+        idx = (yy * W + xx).reshape(B, Ho * Wo)
+        v = jnp.take_along_axis(flat, idx[..., None], axis=1).reshape(B, Ho, Wo, C)
+        return v * valid[..., None].astype(v.dtype)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    out = top * (1.0 - wy) + bot * wy
+    return out.astype(image.dtype)
+
+
+def resize_bilinear(image: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+    """Bilinear resize, half-pixel centers (= torch align_corners=False).
+
+    Used for disparity upsampling to full resolution
+    (reference ``vo/learner_new.py:136-140``).
+    """
+    B, H, W, C = image.shape
+    if H == height and W == width:
+        return image
+    return jax.image.resize(
+        image, (B, height, width, C), method="linear", antialias=False
+    )
+
+
+def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2x spatial upsample, NHWC.
+
+    Equals torch ``F.interpolate(scale_factor=2, mode="nearest")`` exactly
+    for integer 2x (decoder upsample, reference ``model/depthnet.py:82``).
+    """
+    x = jnp.repeat(x, 2, axis=1)
+    return jnp.repeat(x, 2, axis=2)
