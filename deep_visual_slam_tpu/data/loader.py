@@ -1,0 +1,225 @@
+"""Batching / prefetching data loader feeding the TPU.
+
+Replaces the reference's torch ``DataLoader`` with 24 worker processes +
+pinned memory (``vo/dataset/vo_loader.py:200-218``): decode/augment runs on a
+thread pool (cv2/PIL release the GIL), batches are collated into contiguous
+numpy arrays, and ``device_prefetch`` keeps N batches in flight on-device so
+host IO overlaps TPU compute.
+
+``VoDataLoader`` mirrors the reference's config-gated multi-dataset assembly
+(``vo/dataset/vo_loader.py:19-225``): each enabled source contributes its
+train/valid/test datasets, concatenated.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import itertools
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+class ConcatDataset:
+    """Concatenation of indexable datasets (torch ConcatDataset equivalent)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = [d for d in datasets if d is not None and len(d) > 0]
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1]) if self.datasets else 0
+
+    def __getitem__(self, idx: int, rng=None):
+        i = int(np.searchsorted(self._offsets, idx, side="right") - 1)
+        return self.datasets[i].__getitem__(idx - int(self._offsets[i]), rng)
+
+
+def collate(samples: List[Dict]) -> Dict:
+    """Stack a list of sample dicts into one batch dict of arrays."""
+    batch = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        batch[key] = np.stack(vals, axis=0)
+    return batch
+
+
+class DataLoader:
+    """Epoch iterator over an indexable dataset with threaded decode.
+
+    Matches the reference loader semantics: shuffle per epoch, ``drop_last``
+    for static batch shapes (mandatory on TPU), per-sample RNG derived from a
+    seed so runs are reproducible (the reference uses unseeded
+    ``random.randint``; seeding is an improvement, not a divergence).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict]:
+        n = len(self.dataset)
+        rng = np.random.default_rng((self.seed, self._epoch))
+        order = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.drop_last:
+            order = order[: (n // self.batch_size) * self.batch_size]
+        self._epoch += 1
+
+        def fetch(args):
+            pos, idx = args
+            sample_rng = np.random.default_rng(
+                (self.seed, self._epoch, int(pos))
+            )
+            return self.dataset.__getitem__(int(idx), sample_rng)
+
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            it = pool.map(fetch, enumerate(order), chunksize=4)
+            while True:
+                chunk = list(itertools.islice(it, self.batch_size))
+                if not chunk:
+                    return
+                if len(chunk) < self.batch_size and self.drop_last:
+                    return
+                yield collate(chunk)
+
+
+def device_prefetch(
+    iterator: Iterable[Dict],
+    sharding: Optional[Any] = None,
+    size: int = 2,
+) -> Iterator[Dict]:
+    """Keep ``size`` batches resident on device ahead of the consumer.
+
+    With a ``NamedSharding`` the batch is split over the mesh "data" axis
+    (per-host loading composes: each process feeds its addressable shard).
+    """
+    queue: collections.deque = collections.deque()
+
+    def put(batch: Dict) -> Dict:
+        def _place(x):
+            if isinstance(x, np.ndarray) and x.dtype == np.float64:
+                x = x.astype(np.float32)
+            if sharding is not None and isinstance(x, np.ndarray):
+                return jax.device_put(x, sharding)
+            return jax.device_put(x)
+
+        return {k: _place(v) for k, v in batch.items()}
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
+def denormalize_image(image: np.ndarray) -> np.ndarray:
+    """[0,1] float image -> uint8 (reference ``vo/dataset/vo_loader.py:220-225``)."""
+    return (np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+class VoDataLoader:
+    """Config-gated multi-dataset VO loader (reference ``vo/dataset/vo_loader.py``).
+
+    Exposes ``train_loader`` / ``valid_loader`` / ``test_loader`` plus the
+    underlying concatenated datasets. Currently wired sources: redwood
+    (``Dataset.redwood.mono``) and synthetic (``Dataset.synthetic.mono``,
+    a TPU-framework addition used for smoke training and benchmarks).
+    """
+
+    def __init__(self, config: Dict, root_dir: Optional[str] = None):
+        t = config["Train"]
+        self.batch_size = t["batch_size"]
+        self.num_workers = t.get("num_workers", 8)
+        self.seed = t.get("seed", 42)
+        image_size = (t["img_h"], t["img_w"])
+
+        train_sets: List = []
+        valid_sets: List = []
+        test_sets: List = []
+
+        if config["Dataset"].get("redwood", {}).get("mono", False):
+            from deep_visual_slam_tpu.data.redwood import RedwoodDataHandler
+
+            h = RedwoodDataHandler(config, root_dir=root_dir)
+            train_sets.append(h.train_dataset)
+            valid_sets.append(h.valid_dataset)
+            test_sets.append(h.test_dataset)
+
+        if config["Dataset"].get("synthetic", {}).get("mono", False):
+            from deep_visual_slam_tpu.data.synthetic import SyntheticVoDataset
+
+            train_sets.append(
+                SyntheticVoDataset(image_size, length=256, seed=self.seed)
+            )
+            valid_sets.append(
+                SyntheticVoDataset(
+                    image_size, length=32, seed=self.seed + 1, is_train=False
+                )
+            )
+            test_sets.append(
+                SyntheticVoDataset(
+                    image_size, length=32, seed=self.seed + 2, is_train=False
+                )
+            )
+
+        self.train_dataset = ConcatDataset(train_sets)
+        self.valid_dataset = ConcatDataset(valid_sets)
+        self.test_dataset = ConcatDataset(test_sets)
+
+        use_shuffle = t.get("use_shuffle", True)
+        self.train_loader = DataLoader(
+            self.train_dataset,
+            self.batch_size,
+            shuffle=use_shuffle,
+            drop_last=True,
+            num_workers=self.num_workers,
+            seed=self.seed,
+        )
+        self.valid_loader = DataLoader(
+            self.valid_dataset,
+            self.batch_size,
+            shuffle=False,
+            drop_last=True,
+            num_workers=self.num_workers,
+            seed=self.seed,
+        )
+        self.test_loader = DataLoader(
+            self.test_dataset,
+            t.get("vis_batch_size", 1),
+            shuffle=False,
+            drop_last=True,
+            num_workers=self.num_workers,
+            seed=self.seed,
+        )

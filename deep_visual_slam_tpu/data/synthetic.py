@@ -1,0 +1,175 @@
+"""Synthetic scene generation for tests and benchmarks.
+
+The reference has no test fixtures (SURVEY.md §4); golden geometry tests need
+scenes with exactly known depth / pose / intrinsics. These generators render
+photometrically consistent 3-frame snippets from a textured slanted plane
+using the framework's own (independently unit-tested) warp ops, so the VO
+loss has a known optimum at the true pose.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from deep_visual_slam_tpu.ops import (
+    backproject,
+    grid_sample,
+    invert_se3,
+    make_intrinsics,
+    project,
+    transformation_from_parameters,
+)
+from deep_visual_slam_tpu.ops.camera import make_intrinsics  # noqa: F811
+
+
+def smooth_texture(
+    rng: np.random.Generator, batch: int, height: int, width: int, sigma: int = 4
+) -> np.ndarray:
+    """Band-limited random RGB texture in [0, 1] (bilinear-friendly)."""
+    base = rng.uniform(size=(batch, height, width, 3)).astype(np.float32)
+    # Separable box blur (avoid scipy dependency in the hot path).
+    k = 2 * sigma + 1
+    kernel = np.ones(k, np.float32) / k
+    for axis in (1, 2):
+        base = np.apply_along_axis(
+            lambda m: np.convolve(m, kernel, mode="same"), axis, base
+        )
+    lo = base.min(axis=(1, 2, 3), keepdims=True)
+    hi = base.max(axis=(1, 2, 3), keepdims=True)
+    return (base - lo) / np.maximum(hi - lo, 1e-6)
+
+
+def plane_depth(
+    batch: int, height: int, width: int, z0: float = 2.0, slope: float = 0.3
+) -> np.ndarray:
+    """Slanted-plane depth map in meters: z = z0 + slope * (v/H - 0.5)."""
+    v = np.linspace(-0.5, 0.5, height, dtype=np.float32)[None, :, None]
+    return np.broadcast_to(z0 + slope * v, (batch, height, width)).copy()
+
+
+def default_intrinsics(height: int, width: int) -> np.ndarray:
+    """Redwood-style intrinsics rescaled to the target size
+    (fx=fy=525 at 640x480, reference ``README.md:135-138``)."""
+    fx = 525.0 * width / 640.0
+    fy = 525.0 * height / 480.0
+    cx = (width - 1) / 2.0
+    cy = (height - 1) / 2.0
+    return np.asarray(make_intrinsics(fx, fy, cx, cy))
+
+
+def synthetic_vo_batch(
+    seed: int,
+    batch_size: int,
+    height: int,
+    width: int,
+    max_translation: float = 0.05,
+    max_rotation: float = 0.01,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Photometrically consistent (left, target, right) snippet batch.
+
+    Returns (batch, truth) where ``batch`` feeds the VO loss
+    (keys: source_left/target_image/source_right/K/inv_K) and ``truth``
+    carries the generating poses ``T_left`` (left<-target... specifically
+    target->left) and ``T_right`` (target->right) plus the depth map.
+    """
+    rng = np.random.default_rng(seed)
+    target = jnp.asarray(smooth_texture(rng, batch_size, height, width))
+    depth = jnp.asarray(plane_depth(batch_size, height, width))
+    K = jnp.asarray(
+        np.broadcast_to(default_intrinsics(height, width), (batch_size, 4, 4))
+    )
+    inv_K = jnp.linalg.inv(K)
+
+    def rand_pose():
+        aa = jnp.asarray(
+            rng.uniform(-max_rotation, max_rotation, size=(batch_size, 3)).astype(np.float32)
+        )
+        t = jnp.asarray(
+            rng.uniform(-max_translation, max_translation, size=(batch_size, 3)).astype(np.float32)
+        )
+        return transformation_from_parameters(aa, t)
+
+    # T maps target-frame points into the source camera frame; rendering the
+    # source view = sampling the target image at the *inverse* warp.
+    T_left = rand_pose()
+    T_right = rand_pose()
+
+    pts = backproject(depth, inv_K)
+
+    def render(T):
+        grid = project(pts, K, T)
+        return grid_sample(target, grid, align_corners=True, padding_mode="border")
+
+    # Note: this renders source as the target texture seen through T — exact
+    # for the planar scene away from image borders.
+    source_left = render(invert_se3(T_left))
+    source_right = render(invert_se3(T_right))
+
+    batch = {
+        "source_left": source_left,
+        "target_image": target,
+        "source_right": source_right,
+        "K": K,
+        "inv_K": inv_K,
+    }
+    truth = {"T_left": T_left, "T_right": T_right, "depth": depth}
+    return batch, truth
+
+
+class SyntheticVoDataset:
+    """Indexable synthetic snippet dataset with the SnippetDataset interface.
+
+    Each item is an independently seeded photometrically consistent triplet;
+    eval mode attaches the generating GT relative poses with the same keys as
+    the Redwood eval path.
+    """
+
+    def __init__(
+        self,
+        image_size,
+        length: int = 256,
+        seed: int = 0,
+        is_train: bool = True,
+    ):
+        self.image_size = image_size
+        self.length = length
+        self.seed = seed
+        self.is_train = is_train
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int, rng=None) -> Dict:
+        H, W = self.image_size
+        batch, truth = synthetic_vo_batch(self.seed * 100003 + idx, 1, H, W)
+        sample = {k: np.asarray(v[0]) for k, v in batch.items()}
+        K = sample["K"]
+        for s in range(4):
+            Ks = K.copy()
+            Ks[0, :] /= 2**s
+            Ks[1, :] /= 2**s
+            sample[("K", s)] = Ks
+            sample[("inv_K", s)] = np.linalg.inv(Ks).astype(np.float32)
+        if not self.is_train:
+            # truth["T_left"] maps target->left = inv(left<-target)... the GT
+            # eval convention is source->target for the left pair:
+            sample["gt_pose_left_to_target"] = np.asarray(
+                jnp.linalg.inv(truth["T_left"][0])
+            )
+            sample["gt_pose_target_to_right"] = np.asarray(truth["T_right"][0])
+            sample["frame_indices"] = np.array([idx, idx + 1, idx + 2])
+        return sample
+
+
+def synthetic_depth_batch(
+    seed: int, batch_size: int, height: int, width: int, max_depth: float = 10.0
+) -> Dict[str, jnp.ndarray]:
+    """Supervised-depth sample: image + metric depth + validity mask."""
+    rng = np.random.default_rng(seed)
+    image = jnp.asarray(smooth_texture(rng, batch_size, height, width))
+    depth = jnp.asarray(plane_depth(batch_size, height, width))[..., None]
+    valid = (depth > 0) & (depth < max_depth)
+    return {"image": image, "depth": depth, "valid_mask": valid}

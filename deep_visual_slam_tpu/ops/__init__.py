@@ -21,6 +21,7 @@ from deep_visual_slam_tpu.ops.camera import (
     project,
     intrinsics_pyramid,
     scale_intrinsics,
+    make_intrinsics,
 )
 from deep_visual_slam_tpu.ops.warp import (
     grid_sample,
@@ -50,6 +51,7 @@ __all__ = [
     "project",
     "intrinsics_pyramid",
     "scale_intrinsics",
+    "make_intrinsics",
     "grid_sample",
     "resize_bilinear",
     "upsample_nearest_2x",

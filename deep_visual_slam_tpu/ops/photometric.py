@@ -20,15 +20,18 @@ _C2 = 0.03**2
 
 
 def _avg_pool3x3(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3 / stride-1 / VALID average pool over NHWC H,W dims."""
-    s = jax.lax.reduce_window(
-        x,
-        jnp.array(0.0, x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 1, 1, 1),
-        padding="VALID",
-    )
+    """3x3 / stride-1 / VALID average pool over NHWC H,W dims.
+
+    Written as a sum of 9 shifted slices: fully reverse-differentiable and
+    fused by XLA into a single VPU pass (reduce_window-add lacks a transpose
+    rule on this path).
+    """
+    H, W = x.shape[1], x.shape[2]
+    s = None
+    for i in range(3):
+        for j in range(3):
+            piece = x[:, i : i + H - 2, j : j + W - 2, :]
+            s = piece if s is None else s + piece
     return s / jnp.array(9.0, x.dtype)
 
 

@@ -1,0 +1,178 @@
+"""Jitted train/eval step factories (single-chip and mesh-sharded DP).
+
+The reference's step is an eager torch loop + AMP GradScaler
+(``vo/train.py:173-199``); here the whole step — both network forwards, the
+4-scale warp/loss, backward, and the optimizer update — is one XLA program.
+Under a mesh, the batch is sharded on the "data" axis and parameters are
+replicated; GSPMD inserts the gradient all-reduce over ICI (the framework's
+entire distributed-communication story, see ``parallel/mesh.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from deep_visual_slam_tpu.training import vo_learner, depth_learner
+from deep_visual_slam_tpu.training.state import TrainState
+from deep_visual_slam_tpu.parallel.mesh import DATA_AXIS
+
+
+def _jit_step(step_fn, mesh: Optional[Mesh], donate_state: bool = True):
+    """jit a (state, batch, rng) step, sharding the batch over the mesh."""
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate_state else ())
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def make_vo_train_step(
+    depth_model, pose_model, cfg: vo_learner.VOLossConfig, mesh: Optional[Mesh] = None
+):
+    """Returns ``train_step(state, batch, rng) -> (new_state, losses)``."""
+
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            mut = {}
+
+            def depth_apply(_, x, train):
+                out, upd = depth_model.apply(
+                    {"params": params["depth"], "batch_stats": state.batch_stats["depth"]},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                mut["depth"] = upd["batch_stats"]
+                return out
+
+            def pose_apply(_, pairs, train):
+                out, upd = pose_model.apply(
+                    {"params": params["pose"], "batch_stats": state.batch_stats["pose"]},
+                    pairs,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                mut["pose"] = upd["batch_stats"]
+                return out
+
+            _, losses = vo_learner.process_batch(
+                depth_apply, pose_apply, None, None, batch, cfg, rng, train=True
+            )
+            return losses["loss"], (losses, mut)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        losses["grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree_util.tree_leaves(grads))
+        )
+        return new_state, losses
+
+    return _jit_step(train_step, mesh)
+
+
+def make_vo_eval_step(
+    depth_model, pose_model, cfg: vo_learner.VOLossConfig, mesh: Optional[Mesh] = None
+):
+    """Returns ``eval_step(state, batch, rng) -> (outputs, losses)``.
+
+    Runs with frozen BatchNorm statistics (inference mode). Returns the full
+    outputs dict (disps, poses, warped images) for visualization/eval.
+    """
+
+    def eval_step(state: TrainState, batch, rng):
+        def depth_apply(_, x, train):
+            return depth_model.apply(
+                {"params": state.params["depth"], "batch_stats": state.batch_stats["depth"]},
+                x,
+                train=False,
+            )
+
+        def pose_apply(_, pairs, train):
+            return pose_model.apply(
+                {"params": state.params["pose"], "batch_stats": state.batch_stats["pose"]},
+                pairs,
+                train=False,
+            )
+
+        outputs, losses = vo_learner.process_batch(
+            depth_apply, pose_apply, None, None, batch, cfg, rng, train=False
+        )
+        keep = {
+            "disp_0": outputs[("disp", 0)],
+            "depth_0": outputs[("depth", 0)],
+            "cam_T_cam_left": outputs[("cam_T_cam", 0, -1)],
+            "cam_T_cam_right": outputs[("cam_T_cam", 0, 1)],
+            "color_left_0": outputs[("color", -1, 0)],
+            "color_right_0": outputs[("color", 1, 0)],
+        }
+        return keep, losses
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        eval_step, in_shardings=(repl, data, repl), out_shardings=(data, repl)
+    )
+
+
+def make_depth_train_step(
+    depth_model, cfg: depth_learner.DepthLossConfig, mesh: Optional[Mesh] = None
+):
+    """Supervised-depth train step (reference ``depth/train.py:129-155``)."""
+
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            mut = {}
+
+            def depth_apply(_, x, train):
+                out, upd = depth_model.apply(
+                    {"params": params["depth"], "batch_stats": state.batch_stats["depth"]},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                mut["depth"] = upd["batch_stats"]
+                return out
+
+            total, losses, _ = depth_learner.forward_step(
+                depth_apply, None, batch, cfg, train=True
+            )
+            return total, (losses, mut)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        return new_state, losses
+
+    return _jit_step(train_step, mesh)
+
+
+def make_depth_eval_step(depth_model, cfg: depth_learner.DepthLossConfig):
+    def eval_step(state: TrainState, batch, rng):
+        def depth_apply(_, x, train):
+            return depth_model.apply(
+                {"params": state.params["depth"], "batch_stats": state.batch_stats["depth"]},
+                x,
+                train=False,
+            )
+
+        total, losses, preds = depth_learner.forward_step(
+            depth_apply, None, batch, cfg, train=False
+        )
+        return losses, preds[0]
+
+    return jax.jit(eval_step)

@@ -13,6 +13,7 @@ fixture.
 import os
 
 # Must run before jax is imported anywhere.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -36,3 +37,32 @@ def rng():
 @pytest.fixture
 def cpu_devices():
     return jax.devices("cpu")
+
+
+N_FRAMES = 20
+
+
+@pytest.fixture
+def redwood_root(tmp_path, rng):
+    """Fake Redwood tree: 2 train scenes + 1 test scene with poses."""
+    import cv2
+    import json as _json
+
+    root = tmp_path / "redwood"
+    root.mkdir()
+    np.save(root / "intrinsic.npy",
+            np.array([[525.0, 0, 319.5], [0, 525.0, 239.5], [0, 0, 1]]))
+    for fold, scenes in (("train", ["scene_a", "scene_b"]), ("test", ["apartment"])):
+        for scene in scenes:
+            sdir = root / fold / scene
+            (sdir / "image").mkdir(parents=True)
+            nodes = []
+            for i in range(N_FRAMES):
+                img = (rng.uniform(size=(480 // 8, 640 // 8, 3)) * 255).astype(np.uint8)
+                cv2.imwrite(str(sdir / "image" / f"{i:06d}.jpg"), img)
+                T = np.eye(4)
+                T[0, 3] = 0.1 * i
+                nodes.append({"pose": T.flatten(order="F").tolist()})
+            with open(sdir / f"{scene}.json", "w") as f:
+                _json.dump({"nodes": nodes}, f)
+    return str(root)

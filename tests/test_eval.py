@@ -1,0 +1,170 @@
+"""Evaluation metric tests: closed-form alignments and known errors."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from deep_visual_slam_tpu.eval import (
+    DepthMetrics,
+    EvalTrajectory,
+    accumulate_trajectory,
+    ate_rmse,
+    kitti_segment_errors,
+    pose_error,
+    rpe,
+    scale_correction_factor,
+    umeyama_alignment,
+)
+
+
+def _make_trajectory(n=50, step=0.5, seed=0):
+    """Smooth random-walk trajectory of 4x4 poses."""
+    rng = np.random.default_rng(seed)
+    poses = [np.eye(4)]
+    for _ in range(n - 1):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.from_rotvec(rng.normal(scale=0.02, size=3)).as_matrix()
+        T[:3, 3] = [step, 0, 0] + rng.normal(scale=0.05, size=3)
+        poses.append(poses[-1] @ T)
+    return np.asarray(poses)
+
+
+def test_umeyama_recovers_similarity():
+    gt = _make_trajectory()
+    s_true = 2.5
+    R_true = Rotation.from_euler("zyx", [0.3, -0.2, 0.5]).as_matrix()
+    t_true = np.array([1.0, -2.0, 3.0])
+    pred = []
+    for T in gt:
+        P = np.eye(4)
+        # pred = similarity-distorted gt; alignment must undo it exactly.
+        P[:3, 3] = (1 / s_true) * R_true.T @ (T[:3, 3] - t_true)
+        P[:3, :3] = R_true.T @ T[:3, :3]
+        pred.append(P)
+    aligned, scale, R, t = umeyama_alignment(np.asarray(pred), gt)
+    np.testing.assert_allclose(scale, s_true, rtol=1e-6)
+    np.testing.assert_allclose(
+        aligned[:, :3, 3], gt[:, :3, 3], atol=1e-8
+    )
+
+
+def test_ate_zero_for_identical():
+    gt = _make_trajectory()
+    rmse, _, stats = ate_rmse(gt, gt)
+    assert rmse < 1e-9
+    np.testing.assert_allclose(stats["umeyama_scale"], 1.0, rtol=1e-9)
+
+
+def test_pose_error_known_values():
+    T1 = np.eye(4)
+    T2 = np.eye(4)
+    T2[:3, :3] = Rotation.from_euler("z", 30, degrees=True).as_matrix()
+    T2[:3, 3] = [3.0, 4.0, 0.0]
+    pos_e, rot_e, _, _ = pose_error(T2, T1)
+    np.testing.assert_allclose(pos_e, 5.0, rtol=1e-6)
+    np.testing.assert_allclose(rot_e, 30.0, rtol=1e-5)
+
+
+def test_rpe_constant_offset():
+    gt = _make_trajectory()
+    rel = np.eye(4)
+    rel[:3, 3] = [0.1, 0.0, 0.0]
+    pred = np.asarray([rel @ T for T in gt])
+    # Identical relative motion -> zero RPE even with absolute offset.
+    stats = rpe(pred, gt)
+    assert stats["rpe_pos_mean"] < 1e-9
+    assert stats["rpe_rot_mean_deg"] < 1e-6
+
+
+def test_accumulate_trajectory_roundtrip():
+    gt = _make_trajectory(20)
+    rels = [np.linalg.inv(gt[i]) @ gt[i + 1] for i in range(19)]
+    acc = accumulate_trajectory(rels, gt[0])
+    np.testing.assert_allclose(acc, gt, atol=1e-8)
+
+
+def test_scale_correction():
+    rng = np.random.default_rng(0)
+    rel_gt, rel_pred = [], []
+    for _ in range(30):
+        t = rng.normal(size=3)
+        G = np.eye(4); G[:3, 3] = t
+        P = np.eye(4); P[:3, 3] = t / 4.0  # pred is 4x too small
+        rel_gt.append(G); rel_pred.append(P)
+    np.testing.assert_allclose(scale_correction_factor(rel_gt, rel_pred), 4.0, rtol=1e-6)
+
+
+def test_kitti_segment_errors_perfect():
+    gt = _make_trajectory(n=3000, step=0.5)  # ~1.5 km path
+    _, t_rel, r_rel = kitti_segment_errors(gt, gt)
+    assert t_rel < 1e-10 and r_rel < 1e-8
+    err, t_rel2, _ = kitti_segment_errors(gt[:-5] @ np.diag([1, 1, 1, 1]), gt)
+    assert len(err) > 0
+
+
+def test_eval_trajectory_accumulator_and_plot():
+    ev = EvalTrajectory()
+    gt = _make_trajectory(10)
+    rels = np.asarray([np.linalg.inv(gt[i]) @ gt[i + 1] for i in range(9)])
+    ev.update_state(rels[:5], rels[:5])
+    ev.update_state(rels[5:], rels[5:])
+    stats = ev.metrics()
+    assert stats["ate_rmse"] < 1e-6
+    img = ev.eval_plot("test")
+    assert img.ndim == 3 and img.shape[-1] == 3 and img.dtype == np.uint8
+
+
+def test_depth_metrics_stream_matches_oneshot(rng):
+    gt = rng.uniform(0.5, 9.0, size=(4, 16, 16)).astype(np.float32)
+    pred = gt * rng.uniform(0.8, 1.2, size=gt.shape).astype(np.float32)
+    m = DepthMetrics(min_depth=0.1, max_depth=10.0)
+    m.update(pred[:2], gt[:2])
+    m.update(pred[2:], gt[2:])
+    streamed = m.result()
+    m2 = DepthMetrics(min_depth=0.1, max_depth=10.0)
+    m2.update(pred, gt)
+    oneshot = m2.result()
+    for k in streamed:
+        np.testing.assert_allclose(streamed[k], oneshot[k], rtol=1e-5)
+    assert 0.0 < streamed["abs_rel"] < 0.3
+    assert streamed["delta1"] > 0.5
+
+
+def test_redwood_evaluator_oracle(redwood_root, tmp_path):
+    """Evaluator end-to-end with an oracle pose_fn: near-zero errors."""
+    from deep_visual_slam_tpu.eval import RedwoodEvaluator
+
+    def oracle_pose_fn(pairs):
+        # True motion of the fake tree: +0.1 m in x per frame.
+        T = np.eye(4)
+        T[0, 3] = 0.1
+        return np.tile(T, (pairs.shape[0], 1, 1))
+
+    ev = RedwoodEvaluator(oracle_pose_fn, redwood_root, image_size=(48, 64))
+    out_dir = str(tmp_path / "eval_out")
+    results = ev.evaluate(scenes=("apartment",), output_dir=out_dir)
+    assert len(results) == 1
+    r = results[0]
+    assert r["ate_rmse"] < 1e-6
+    assert r["rpe_pos_mean"] < 1e-6
+    assert abs(r["scale_factor"] - 1.0) < 1e-6
+    import os
+    assert os.path.exists(os.path.join(out_dir, "apartment_pairs.csv"))
+    assert os.path.exists(os.path.join(out_dir, "apartment_trajectory.png"))
+
+
+def test_redwood_evaluator_with_posenet(redwood_root):
+    """Evaluator drives a real (untrained) PoseNet without error."""
+    import jax
+    from deep_visual_slam_tpu.eval import RedwoodEvaluator, make_pose_fn
+    from deep_visual_slam_tpu.models import PoseNet
+
+    pose_model = PoseNet()
+    variables = jax.jit(pose_model.init)(
+        jax.random.PRNGKey(0), np.zeros((1, 48, 64, 6), np.float32)
+    )
+    pose_fn = make_pose_fn(pose_model, variables, invert=True, batch_size=8)
+    ev = RedwoodEvaluator(pose_fn, redwood_root, image_size=(48, 64))
+    r = ev.evaluate_scene("apartment", use_scale_correction=True)
+    assert np.isfinite(r["ate_rmse"])
+    assert r["num_pairs"] == 19

@@ -1,0 +1,169 @@
+"""Training loss core + train step tests (single-device and 8-way DP)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_visual_slam_tpu.data.synthetic import (
+    synthetic_depth_batch,
+    synthetic_vo_batch,
+)
+from deep_visual_slam_tpu.models import DepthNet, PoseNet
+from deep_visual_slam_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from deep_visual_slam_tpu.training import (
+    DepthLossConfig,
+    TrainState,
+    VOLossConfig,
+    init_vo_models,
+    make_depth_train_step,
+    make_optimizer,
+    make_vo_eval_step,
+    make_vo_train_step,
+    polynomial_lr,
+)
+
+H, W = 64, 96
+
+
+def _small_models():
+    return DepthNet(), PoseNet()
+
+
+def _vo_state(depth_model, pose_model, lr=1e-4, steps=100):
+    variables = init_vo_models(depth_model, pose_model, (H, W), jax.random.PRNGKey(0))
+    tx = make_optimizer(lr, steps)
+    return TrainState.create(variables["params"], variables["batch_stats"], tx)
+
+
+def test_vo_loss_zero_motion_sanity():
+    """Loss on a photometrically consistent batch is finite and bounded."""
+    depth_model, pose_model = _small_models()
+    state = _vo_state(depth_model, pose_model)
+    batch, _ = synthetic_vo_batch(0, 2, H, W)
+    eval_step = make_vo_eval_step(depth_model, pose_model, VOLossConfig())
+    outputs, losses = eval_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["loss"]))
+    assert 0.0 < float(losses["loss"]) < 1.0
+    assert outputs["depth_0"].shape == (2, H, W, 1)
+    assert outputs["cam_T_cam_left"].shape == (2, 4, 4)
+
+
+def test_vo_train_step_decreases_loss():
+    depth_model, pose_model = _small_models()
+    state = _vo_state(depth_model, pose_model, lr=1e-4, steps=1000)
+    step = make_vo_train_step(depth_model, pose_model, VOLossConfig())
+    batch, _ = synthetic_vo_batch(0, 2, H, W)
+    rng = jax.random.PRNGKey(0)
+    vals = []
+    for i in range(10):
+        rng, sub = jax.random.split(rng)
+        state, losses = step(state, batch, sub)
+        val = float(losses["loss"])
+        assert np.isfinite(val)
+        vals.append(val)
+    # Step 0 is a BatchNorm-stat warm-up; compare post-warm-up trend.
+    assert min(vals[-3:]) < vals[1], f"loss did not decrease: {vals}"
+    assert int(state.step) == 10
+
+
+def test_vo_train_step_updates_both_networks():
+    depth_model, pose_model = _small_models()
+    state = _vo_state(depth_model, pose_model)
+    step = make_vo_train_step(depth_model, pose_model, VOLossConfig())
+    batch, _ = synthetic_vo_batch(1, 2, H, W)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    state, _ = step(state, batch, jax.random.PRNGKey(0))
+    for name in ("depth", "pose"):
+        before = jax.tree_util.tree_leaves(p0[name])
+        after = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(np.asarray, state.params[name])
+        )
+        changed = any(not np.allclose(a, b) for a, b in zip(before, after))
+        assert changed, f"{name} params did not update"
+
+
+def test_vo_dp_matches_single_device(cpu_devices):
+    """8-way data-parallel step computes the same update as single-device."""
+    depth_model, pose_model = _small_models()
+    cfg = VOLossConfig(auto_mask=False)  # rng-noise-free for exact comparison
+    batch, _ = synthetic_vo_batch(2, 8, H, W)
+    rng = jax.random.PRNGKey(0)
+
+    state1 = _vo_state(depth_model, pose_model)
+    step1 = make_vo_train_step(depth_model, pose_model, cfg)
+    state1, losses1 = step1(state1, batch, rng)
+
+    mesh = make_mesh(cpu_devices)
+    state8 = _vo_state(depth_model, pose_model)
+    state8 = state8.replace(
+        params=replicate(state8.params, mesh),
+        batch_stats=replicate(state8.batch_stats, mesh),
+        opt_state=replicate(state8.opt_state, mesh),
+    )
+    step8 = make_vo_train_step(depth_model, pose_model, cfg, mesh=mesh)
+    state8, losses8 = step8(state8, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(
+        float(losses1["loss"]), float(losses8["loss"]), rtol=2e-4
+    )
+    l1 = jax.tree_util.tree_leaves(state1.params["pose"])
+    l8 = jax.tree_util.tree_leaves(state8.params["pose"])
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_depth_train_step_decreases_loss():
+    depth_model = DepthNet()
+    dvars = depth_model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    tx = make_optimizer(1e-4, 1000, weight_decay=1e-5)
+    state = TrainState.create(
+        {"depth": dvars["params"]}, {"depth": dvars["batch_stats"]}, tx
+    )
+    step = make_depth_train_step(depth_model, DepthLossConfig())
+    batch = synthetic_depth_batch(0, 2, H, W)
+    vals = []
+    for _ in range(8):
+        state, losses = step(state, batch, jax.random.PRNGKey(0))
+        vals.append(float(losses["loss"]))
+    assert all(np.isfinite(v) for v in vals)
+    assert vals[-1] < vals[0]
+
+
+def test_polynomial_schedule_endpoints():
+    sched = polynomial_lr(1e-4, 100, power=0.9)
+    np.testing.assert_allclose(float(sched(0)), 1e-4, rtol=1e-6)
+    assert float(sched(100)) == 0.0
+    assert float(sched(50)) < 1e-4
+
+
+def test_automask_suppresses_static_pixels():
+    """Identity loss must win (mask=0) when source == target (no motion)."""
+    depth_model, pose_model = _small_models()
+    state = _vo_state(depth_model, pose_model)
+    batch, _ = synthetic_vo_batch(0, 1, H, W)
+    static = dict(batch)
+    static["source_left"] = batch["target_image"]
+    static["source_right"] = batch["target_image"]
+
+    from deep_visual_slam_tpu.training import vo_learner
+
+    def depth_apply(_, x, train):
+        return depth_model.apply(
+            {"params": state.params["depth"], "batch_stats": state.batch_stats["depth"]},
+            x, train=False,
+        )
+
+    def pose_apply(_, p, train):
+        return pose_model.apply(
+            {"params": state.params["pose"], "batch_stats": state.batch_stats["pose"]},
+            p, train=False,
+        )
+
+    outputs, _ = vo_learner.process_batch(
+        depth_apply, pose_apply, None, None, static, VOLossConfig(),
+        jax.random.PRNGKey(0), train=False,
+    )
+    mask = np.asarray(outputs["identity_selection/0"])
+    # With identical source/target the identity loss is ~0 and must be
+    # selected almost everywhere (masking out "static" pixels).
+    assert mask.mean() < 0.1
