@@ -9,8 +9,9 @@ Behavioral parity with the reference data layer (``vo/dataset/common.py``):
   - ColorJitter(brightness=0.3, contrast=0.3, saturation=0.3, hue=0.2)
     applied with p=0.5 to the whole triplet identically (``:79-81``),
   - sample keys: flat ``source_left/target_image/source_right/K/inv_K``
-    (NHWC numpy) plus the tuple-keyed ("K", s)/("inv_K", s) pyramid for
-    API parity with reference consumers.
+    (NHWC numpy) plus the per-scale ``K_s`` / ``inv_K_s`` pyramid (string
+    keys — jax pytrees need homogeneous dict key types, unlike the
+    reference's tuple-keyed torch dicts).
 
 TPU-first: decode/augment is pure numpy/cv2 on the host; batches are
 prefetched to device by ``loader.device_prefetch`` — the torch DataLoader
@@ -144,8 +145,8 @@ class SnippetDataset:
             "inv_K": self._pyramid[0][1],
         }
         for s in range(self.num_scales):
-            sample[("K", s)] = self._pyramid[s][0]
-            sample[("inv_K", s)] = self._pyramid[s][1]
+            sample[f"K_{s}"] = self._pyramid[s][0]
+            sample[f"inv_K_{s}"] = self._pyramid[s][1]
 
         if not self.is_train and self.poses is not None:
             max_idx = len(self.poses) - 1

@@ -177,20 +177,28 @@ class VoDataLoader:
             valid_sets.append(h.valid_dataset)
             test_sets.append(h.test_dataset)
 
-        if config["Dataset"].get("synthetic", {}).get("mono", False):
+        syn_cfg = config["Dataset"].get("synthetic", {})
+        if syn_cfg.get("mono", False):
             from deep_visual_slam_tpu.data.synthetic import SyntheticVoDataset
 
+            length = syn_cfg.get("length", 256)
             train_sets.append(
-                SyntheticVoDataset(image_size, length=256, seed=self.seed)
+                SyntheticVoDataset(image_size, length=length, seed=self.seed)
             )
             valid_sets.append(
                 SyntheticVoDataset(
-                    image_size, length=32, seed=self.seed + 1, is_train=False
+                    image_size,
+                    length=max(length // 8, self.batch_size),
+                    seed=self.seed + 1,
+                    is_train=False,
                 )
             )
             test_sets.append(
                 SyntheticVoDataset(
-                    image_size, length=32, seed=self.seed + 2, is_train=False
+                    image_size,
+                    length=max(length // 8, 4),
+                    seed=self.seed + 2,
+                    is_train=False,
                 )
             )
 

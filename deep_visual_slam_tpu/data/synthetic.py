@@ -151,8 +151,8 @@ class SyntheticVoDataset:
             Ks = K.copy()
             Ks[0, :] /= 2**s
             Ks[1, :] /= 2**s
-            sample[("K", s)] = Ks
-            sample[("inv_K", s)] = np.linalg.inv(Ks).astype(np.float32)
+            sample[f"K_{s}"] = Ks
+            sample[f"inv_K_{s}"] = np.linalg.inv(Ks).astype(np.float32)
         if not self.is_train:
             # truth["T_left"] maps target->left = inv(left<-target)... the GT
             # eval convention is source->target for the left pair:

@@ -18,6 +18,12 @@ import jax.numpy as jnp
 _EPS = 1e-7
 
 
+def _safe_norm(vec: jnp.ndarray) -> jnp.ndarray:
+    """||vec|| with a finite derivative at zero (plain norm yields 0/0 NaN
+    under autodiff exactly where the BA linearizes: xi = 0)."""
+    return jnp.sqrt(jnp.sum(vec * vec, axis=-1, keepdims=True) + 1e-24)
+
+
 def rotation_from_axisangle(vec: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues' formula: axis-angle vector [..., 3] -> rotation [..., 3, 3].
 
@@ -26,7 +32,7 @@ def rotation_from_axisangle(vec: jnp.ndarray) -> jnp.ndarray:
     zero rotation).
     """
     vec = vec.astype(jnp.float32)
-    angle = jnp.linalg.norm(vec, axis=-1, keepdims=True)  # [..., 1]
+    angle = _safe_norm(vec)  # [..., 1]
     axis = vec / (angle + _EPS)
 
     ca = jnp.cos(angle)[..., None]  # [..., 1, 1]
@@ -129,7 +135,7 @@ def invert_se3(T: jnp.ndarray) -> jnp.ndarray:
 def _so3_left_jacobian(vec: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian J of SO(3); se3 exp translation part is J @ rho."""
     vec = vec.astype(jnp.float32)
-    angle = jnp.linalg.norm(vec, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+    angle = _safe_norm(vec)[..., None]  # [..., 1, 1]
     x, y, z = vec[..., 0:1, None], vec[..., 1:2, None], vec[..., 2:3, None]
     zeros = jnp.zeros_like(x)
     K = jnp.concatenate(

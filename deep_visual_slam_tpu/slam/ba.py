@@ -1,0 +1,348 @@
+"""Windowed photometric bundle adjustment — the native g2o backend, rebuilt
+as a fixed-shape batched Levenberg–Marquardt solver in pure JAX.
+
+What it replaces (reference, SURVEY.md §2.5):
+  - g2o sparse LM engine: ``g2opy/g2o/core/`` (~13.4k LoC C++ — per-iteration
+    linearize -> sparse block Hessian -> LM damping -> CSparse Cholesky),
+  - the repo's custom D3VO types: ``VertexD3VOFramePose`` /
+    ``VertexD3VOPointDepth`` / ``EdgeProjectD3VO``
+    (``g2opy/g2o/types/sba/types_six_dof_expmap.h:347-445``), whose residual
+    is the RGB photometric difference
+    ``I_dest(cam_map(T_dest · T_host⁻¹ · cam_unmap(uv, d))) - I_host(uv)``
+    (``types_six_dof_expmap.cpp:664-697``) with finite-difference image
+    gradients in ``linearizeOplus`` (``:702-797``),
+  - the pybind11 binding layer (not needed — the solver is jnp end to end).
+
+TPU-native design:
+  - FIXED shapes: F keyframes x P points => E = F·P candidate edges, invalid
+    edges (host frame, out-of-window, OOB reprojection) masked to weight 0 —
+    the reference instead skips edges dynamically (``slam/optimizer.py:276-289``)
+    and zeroes OOB errors in C++ (``types_six_dof_expmap.cpp:684-692``).
+  - Residuals use *bilinear* image sampling (the C++ casts to int — nearest),
+    and Jacobians come from forward-mode autodiff of the retraction at zero
+    instead of hand-derived chain rules; both are strictly better numerically
+    and fuse into one XLA program.
+  - Gauss-Newton system: dense block Hessian assembled with scatter-adds;
+    depth block eliminated by a Schur complement; the reduced (6(F-1))² pose
+    system (<= 36x36 for the default 7-keyframe window) is solved with a
+    dense Cholesky on the MXU. CSparse is pointless at this size.
+  - LM loop: `lax.while_loop` with adaptive lambda (accept/reject), matching
+    g2o's Levenberg strategy (``optimization_algorithm_levenberg.cpp:58``).
+  - Huber robust kernel (reference ``slam/optimizer.py:287`` RobustKernelHuber)
+    via IRLS weights; per-point D3VO uncertainty weights
+    ``a² / (a² + unc²)`` (``slam/optimizer.py:276-289``, D3VO Eq. 13).
+
+State conventions:
+  - poses: [F, 4, 4] ``T_cw`` (world -> camera), exactly like g2o's
+    ``SE3Quat`` estimate in the reference graph.
+  - pose update: left-multiplicative ``T <- exp(xi) · T``; depth update
+    additive. First pose is gauge-fixed (reference ``slam/optimizer.py:255``).
+  - ``host_uv``: [P, 2] (x, y) pixel coords in the host frame.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deep_visual_slam_tpu.ops.se3 import se3_exp
+
+
+class BAProblem(NamedTuple):
+    """Fixed-shape windowed BA problem.
+
+    images:   [F, H, W, C] float in [0,1] (C=3 RGB like the reference edge)
+    K:        [4, 4] intrinsics
+    poses:    [F, 4, 4] initial T_cw per keyframe
+    depths:   [P] initial depth of each point in its host frame
+    host_uv:  [P, 2] (x, y) pixel location in the host frame
+    host_idx: [P] int32 host keyframe index
+    obs_mask: [P, F] bool — point p has a residual against frame f
+    weight:   [P] per-point D3VO uncertainty weight  a²/(a²+unc²)
+    """
+
+    images: jnp.ndarray
+    K: jnp.ndarray
+    poses: jnp.ndarray
+    depths: jnp.ndarray
+    host_uv: jnp.ndarray
+    host_idx: jnp.ndarray
+    obs_mask: jnp.ndarray
+    weight: jnp.ndarray
+
+
+def bilinear_sample(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Sample [H, W, C] at continuous (x, y); clamps to the border."""
+    H, W, _ = image.shape
+    return bilinear_sample_stack(image[None], jnp.zeros((), jnp.int32), uv)
+
+
+def bilinear_sample_stack(
+    images: jnp.ndarray, frame_idx: jnp.ndarray, uv: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample frame ``frame_idx`` of an [F, H, W, C] stack at continuous
+    (x, y) — a 4-texel gather, so a vmap over edges stays O(edges), not
+    O(edges x image) (the naive per-edge image gather OOMs on TPU).
+    """
+    F, H, W, C = images.shape
+    x = jnp.clip(uv[0], 0.0, W - 1.0)
+    y = jnp.clip(uv[1], 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    wx = x - x0
+    wy = y - y0
+    flat = images.reshape(F * H * W, C)
+    base = frame_idx * (H * W) + y0 * W + x0
+    v00 = flat[base]
+    v01 = flat[base + 1]
+    v10 = flat[base + W]
+    v11 = flat[base + W + 1]
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _unproject(K: jnp.ndarray, uv: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
+    """cam_unmap: pixel + depth -> host-camera-frame 3D point
+    (reference ``CameraParameters::cam_unmap``, types_six_dof_expmap.h:79-86)."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    x = (uv[0] - cx) / fx * depth
+    y = (uv[1] - cy) / fy * depth
+    return jnp.stack([x, y, depth])
+
+
+def _project(K: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    z = jnp.maximum(X[2], 1e-6)
+    return jnp.stack([X[0] / z * fx + cx, X[1] / z * fy + cy])
+
+
+def edge_residual(
+    xi_dest: jnp.ndarray,   # [6] se3 perturbation of dest pose
+    xi_host: jnp.ndarray,   # [6] se3 perturbation of host pose
+    d_depth: jnp.ndarray,   # [] depth perturbation
+    T_dest: jnp.ndarray,    # [4, 4] current dest T_cw
+    T_host: jnp.ndarray,    # [4, 4] current host T_cw
+    depth: jnp.ndarray,     # [] current depth
+    uv: jnp.ndarray,        # [2] host pixel
+    host_i: jnp.ndarray,    # [] int32 host frame index into images
+    dest_i: jnp.ndarray,    # [] int32 dest frame index into images
+    images: jnp.ndarray,    # [F, H, W, C] full stack (broadcast, not gathered)
+    K: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Photometric residual of one (point, dest-frame) edge + validity.
+
+    r = I_dest(proj(T_dest · T_host⁻¹ · unproj(uv, d))) - I_host(uv),
+    evaluated at the retraction exp(xi)·T — differentiating w.r.t.
+    (xi_dest, xi_host, d_depth) at zero yields the GN Jacobians.
+    """
+    Td = se3_exp(xi_dest) @ T_dest
+    Th = se3_exp(xi_host) @ T_host
+    d = depth + d_depth
+
+    X_host = _unproject(K, uv, d)
+    T_rel = Td @ jnp.linalg.inv(Th)
+    X_dest = T_rel[:3, :3] @ X_host + T_rel[:3, 3]
+    uv_dest = _project(K, X_dest)
+
+    _, H, W, _ = images.shape
+    in_bounds = (
+        (uv_dest[0] >= 1.0)
+        & (uv_dest[0] <= W - 2.0)
+        & (uv_dest[1] >= 1.0)
+        & (uv_dest[1] <= H - 2.0)
+        & (X_dest[2] > 1e-3)
+        & (d > 1e-3)
+    )
+    r = bilinear_sample_stack(images, dest_i, uv_dest) - bilinear_sample_stack(
+        images, host_i, uv
+    )
+    # OOB edges contribute nothing (reference zeroes them,
+    # types_six_dof_expmap.cpp:684-692).
+    return jnp.where(in_bounds, r, 0.0), in_bounds
+
+
+def huber_weight(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weight of the Huber kernel: 1 inside delta, delta/|r| outside."""
+    return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
+
+
+@partial(jax.jit, static_argnames=("num_iters", "fix_first"))
+def photometric_ba(
+    problem: BAProblem,
+    num_iters: int = 6,
+    huber_delta: float = 0.11,
+    init_lambda: float = 1e-4,
+    fix_first: bool = True,
+):
+    """Run LM over the window; returns (poses, depths, diagnostics).
+
+    num_iters matches the reference's windowed call ``opt.optimize(6)``
+    (``slam/optimizer.py:222,292-294``); pass 20 for the global-BA variant
+    (``slam/optimizer.py:99-220``).
+    """
+    F = problem.poses.shape[0]
+    P = problem.depths.shape[0]
+    K = problem.K
+    images = problem.images
+
+    # Edge list: every (point, dest frame) pair, masked.
+    dest_idx = jnp.tile(jnp.arange(F)[None, :], (P, 1))  # [P, F]
+    point_idx = jnp.tile(jnp.arange(P)[:, None], (1, F))  # [P, F]
+    edge_mask = problem.obs_mask & (dest_idx != problem.host_idx[:, None])
+
+    e_point = point_idx.reshape(-1)  # [E]
+    e_dest = dest_idx.reshape(-1)
+    e_mask = edge_mask.reshape(-1)
+    e_host = problem.host_idx[e_point]
+    e_weight = problem.weight[e_point]
+
+    zeros6 = jnp.zeros(6)
+    zero = jnp.zeros(())
+
+    def single_edge(T_dest, T_host, depth, uv, host_i, dest_i):
+        def f(xi_d, xi_h, dd):
+            return edge_residual(
+                xi_d, xi_h, dd, T_dest, T_host, depth, uv, host_i, dest_i,
+                images, K,
+            )[0]
+
+        r, valid = edge_residual(
+            zeros6, zeros6, zero, T_dest, T_host, depth, uv, host_i, dest_i,
+            images, K,
+        )
+        J_d, J_h, J_dd = jax.jacfwd(f, argnums=(0, 1, 2))(zeros6, zeros6, zero)
+        return r, valid, J_d, J_h, J_dd
+
+    edge_fn = jax.vmap(
+        single_edge, in_axes=(0, 0, 0, 0, 0, 0)
+    )
+
+    def linearize(poses, depths):
+        r, valid, J_dest, J_host, J_depth = edge_fn(
+            poses[e_dest],
+            poses[e_host],
+            depths[e_point],
+            problem.host_uv[e_point],
+            e_host,
+            e_dest,
+        )
+        # Robust + uncertainty + mask weights (per edge).
+        r_norm = jnp.linalg.norm(r, axis=-1)
+        w = (
+            huber_weight(r_norm, huber_delta)
+            * e_weight
+            * e_mask.astype(jnp.float32)
+            * valid.astype(jnp.float32)
+        )
+        return r, w, J_dest, J_host, J_depth
+
+    def build_system(r, w, J_dest, J_host, J_depth):
+        """Assemble the damped GN system and Schur-eliminate depths."""
+        # Per-edge weighted blocks. r: [E, C]; J_*: [E, C, 6]; J_depth: [E, C]
+        wJd = J_dest * w[:, None, None]
+        wJh = J_host * w[:, None, None]
+        wJz = J_depth * w[:, None]
+
+        # Pose-pose blocks: [F, F, 6, 6] scatter-add per edge.
+        H_pp = jnp.zeros((F, F, 6, 6))
+        bt = lambda A, B: jnp.einsum("eci,ecj->eij", A, B)  # noqa: E731
+        H_pp = H_pp.at[e_dest, e_dest].add(bt(wJd, J_dest))
+        H_pp = H_pp.at[e_dest, e_host].add(bt(wJd, J_host))
+        H_pp = H_pp.at[e_host, e_dest].add(bt(wJh, J_dest))
+        H_pp = H_pp.at[e_host, e_host].add(bt(wJh, J_host))
+
+        # Pose-depth coupling: [P, F, 6].
+        H_pd = jnp.zeros((P, F, 6))
+        pd_dest = jnp.einsum("eci,ec->ei", J_dest, wJz)
+        pd_host = jnp.einsum("eci,ec->ei", J_host, wJz)
+        H_pd = H_pd.at[e_point, e_dest].add(pd_dest)
+        H_pd = H_pd.at[e_point, e_host].add(pd_host)
+
+        # Depth diagonal: [P].
+        H_dd = jnp.zeros((P,)).at[e_point].add(
+            jnp.einsum("ec,ec->e", wJz, J_depth)
+        )
+
+        # Gradients.
+        b_p = jnp.zeros((F, 6))
+        b_p = b_p.at[e_dest].add(-jnp.einsum("eci,ec->ei", wJd, r))
+        b_p = b_p.at[e_host].add(-jnp.einsum("eci,ec->ei", wJh, r))
+        b_d = jnp.zeros((P,)).at[e_point].add(-jnp.einsum("ec,ec->e", wJz, r))
+
+        chi2 = jnp.sum(w * jnp.sum(r * r, axis=-1))
+        return H_pp, H_pd, H_dd, b_p, b_d, chi2
+
+    def solve(H_pp, H_pd, H_dd, b_p, b_d, lam):
+        # LM damping (g2o Levenberg adds lambda to the diagonal).
+        eye6 = jnp.eye(6)
+        H_pp = H_pp + lam * eye6[None, None] * jnp.eye(F)[:, :, None, None]
+        H_dd_d = H_dd + lam + 1e-10
+
+        # Schur complement onto poses.
+        A = H_pd.reshape(P, F * 6)  # = H_dp^T rows
+        Ainv = A / H_dd_d[:, None]
+        H_full = H_pp.transpose(0, 2, 1, 3).reshape(F * 6, F * 6)
+        H_sc = H_full - A.T @ Ainv
+        b_sc = b_p.reshape(F * 6) - Ainv.T @ b_d
+
+        if fix_first:
+            H_red = H_sc[6:, 6:]
+            b_red = b_sc[6:]
+        else:
+            H_red = H_sc
+            b_red = b_sc
+        # Dense Cholesky on the tiny reduced system.
+        L = jnp.linalg.cholesky(
+            H_red + 1e-8 * jnp.eye(H_red.shape[0])
+        )
+        dx_red = jax.scipy.linalg.cho_solve((L, True), b_red)
+        dx_pose = (
+            jnp.concatenate([jnp.zeros(6), dx_red]) if fix_first else dx_red
+        )
+
+        # Back-substitute depths: dz = D^-1 (b_d - H_dp dx_pose).
+        dz = (b_d - A @ dx_pose) / H_dd_d
+        return dx_pose.reshape(F, 6), dz
+
+    def retract(poses, depths, dx_pose, dz):
+        new_poses = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx_pose, poses)
+        return new_poses, depths + dz
+
+    def lm_step(carry, _):
+        poses, depths, lam, chi2_prev = carry
+        r, w, Jd, Jh, Jz = linearize(poses, depths)
+        H_pp, H_pd, H_dd, b_p, b_d, chi2 = build_system(r, w, Jd, Jh, Jz)
+        dx_pose, dz = solve(H_pp, H_pd, H_dd, b_p, b_d, lam)
+        cand_poses, cand_depths = retract(poses, depths, dx_pose, dz)
+
+        # Evaluate candidate cost; a diverged (non-finite) candidate must be
+        # rejected even though masking could zero its residuals.
+        r2, w2, _, _, _ = linearize(cand_poses, cand_depths)
+        chi2_new = jnp.sum(w2 * jnp.sum(r2 * r2, axis=-1))
+        finite = (
+            jnp.isfinite(chi2_new)
+            & jnp.all(jnp.isfinite(cand_poses))
+            & jnp.all(jnp.isfinite(cand_depths))
+        )
+        chi2_new = jnp.where(finite, chi2_new, jnp.inf)
+        accept = chi2_new < chi2
+
+        poses = jnp.where(accept, cand_poses, poses)
+        depths = jnp.where(accept, cand_depths, depths)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam = jnp.clip(lam, 1e-8, 1e6)
+        return (poses, depths, lam, jnp.minimum(chi2_new, chi2)), chi2
+
+    (poses, depths, lam, chi2), chi2_hist = jax.lax.scan(
+        lm_step,
+        (problem.poses, problem.depths, jnp.asarray(init_lambda), jnp.inf),
+        None,
+        length=num_iters,
+    )
+    return poses, depths, {"chi2": chi2, "chi2_history": chi2_hist, "lambda": lam}

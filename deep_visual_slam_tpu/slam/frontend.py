@@ -1,0 +1,138 @@
+"""SLAM frontend: ORB features, matching, Frame/Point bookkeeping (host CPU).
+
+Parity target: reference ``slam/frontend.py``:
+  - ORB with 3000 features, 8 pyramid levels, scale 1.2 (``:22-44``),
+  - BFMatcher KNN + Lowe ratio 0.75 + hamming < 32 + per-side dedup
+    (``:46-67``),
+  - ``Frame`` holds image/depth/uncertainty/pose/brightness(a, b), keypoints
+    and the Point index map (``:98-119``); ``Point`` is a multi-frame track
+    whose host is its first observation (``:71-95``).
+
+Divergence (documented): ``Frame.pose`` here is the GLOBAL camera-from-world
+transform ``T_cw`` (composed at insertion); the reference stores the
+*relative* net pose in ``Frame.pose`` yet feeds it to g2o as if global
+(``slam/optimizer.py:248-249``) — an inconsistency we do not reproduce.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+NUM_FEATURES = 3000
+
+
+def extract_features(image: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """ORB keypoints + descriptors from an RGB (or gray) image.
+
+    Accepts uint8 or float [0,1]; returns ([N, 2] int (x, y), [N, 32] uint8).
+    """
+    img = image
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0.0, 1.0) * 255).astype(np.uint8)
+    if img.ndim == 3:
+        gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    else:
+        gray = img
+    orb = cv2.ORB_create(
+        nfeatures=NUM_FEATURES,
+        scaleFactor=1.2,
+        nlevels=8,
+        edgeThreshold=31,
+        firstLevel=0,
+        WTA_K=2,
+        patchSize=31,
+    )
+    kps, des = orb.detectAndCompute(gray, None)
+    if not kps:
+        return np.zeros((0, 2), np.int32), None
+    pts = np.array([(int(k.pt[0]), int(k.pt[1])) for k in kps], np.int32)
+    return pts, des
+
+
+def match_descriptors(
+    des1: Optional[np.ndarray], des2: Optional[np.ndarray]
+) -> Tuple[List[int], List[int]]:
+    """Lowe-ratio KNN matching with dedup (reference ``:46-67``)."""
+    if des1 is None or des2 is None or len(des1) < 2 or len(des2) < 2:
+        return [], []
+    bf = cv2.BFMatcher(cv2.NORM_HAMMING)
+    matches = bf.knnMatch(des1, des2, k=2)
+    idx1, idx2 = [], []
+    s1, s2 = set(), set()
+    for pair in matches:
+        if len(pair) < 2:
+            continue
+        m, n = pair
+        if (
+            m.distance < 0.75 * n.distance
+            and m.distance < 32
+            and m.queryIdx not in s1
+            and m.trainIdx not in s2
+        ):
+            idx1.append(m.queryIdx)
+            idx2.append(m.trainIdx)
+            s1.add(m.queryIdx)
+            s2.add(m.trainIdx)
+    return idx1, idx2
+
+
+def match_frame_kps(f1: "Frame", f2: "Frame") -> Tuple[List[int], List[int]]:
+    return match_descriptors(f1.des, f2.des)
+
+
+class Point:
+    """A tracked scene point observed in multiple frames; host = first."""
+
+    def __init__(self, map_):
+        self.frames: List["Frame"] = []
+        self.idxs: List[int] = []
+        self.id = map_.add_point(self)
+        self.valid = True
+
+    def get_host_frame(self) -> Tuple["Frame", Tuple[int, int]]:
+        f = self.frames[0]
+        x, y = f.kps[self.idxs[0]]
+        return f, (int(x), int(y))
+
+    def update_host_depth(self, depth: float) -> None:
+        f, (x, y) = self.get_host_frame()
+        f.depth[y, x] = depth
+
+    def add_observation(self, frame: "Frame", idx: int) -> None:
+        assert idx not in frame.pts
+        assert frame not in self.frames
+        frame.pts[idx] = self
+        self.frames.append(frame)
+        self.idxs.append(idx)
+
+
+class Frame:
+    """One camera frame: image + net outputs + tracked keypoints."""
+
+    def __init__(
+        self,
+        map_,
+        image: np.ndarray,
+        depth: np.ndarray,
+        uncertainty: np.ndarray,
+        pose: np.ndarray,
+        brightness_params: Tuple[float, float] = (1.0, 0.0),
+    ):
+        self.id = map_.add_frame(self)
+        self.image = np.asarray(image)
+        # depth is mutated by the BA write-back; force a writable copy (a
+        # device array converted via asarray is read-only).
+        self.depth = np.array(depth)
+        self.uncertainty = np.asarray(uncertainty)
+        self.pose = np.asarray(pose, np.float64)  # global T_cw
+        self.a, self.b = brightness_params
+        self.marginalize = False
+
+        self.kps, self.des = extract_features(self.image)
+        self.pts: Dict[int, Point] = {}
+
+        H, W = self.image.shape[:2]
+        assert all(0 <= x < W and 0 <= y < H for x, y in self.kps)

@@ -1,0 +1,226 @@
+"""Keyframe map + backend driver over the JAX photometric BA.
+
+Parity target: reference ``slam/optimizer.py`` (``Map``):
+  - keyframe decision score ``0.6 * f + 0.4 * ft > 1`` from mean keypoint
+    displacement and rotation-compensated displacement (``:59-97``),
+  - window of ``num_kf = 7`` keyframes, oldest marginalized when the window
+    is full (``:41-56,314-319``),
+  - windowed photometric BA over (pose, point-depth) vertices with D3VO
+    uncertainty weights ``alpha^2 / (alpha^2 + sqrt(unc)^2)`` and Huber,
+    6 LM iterations (``:222-319``),
+  - ``global_bundle_adjustment``: same graph over ALL keyframes, 20 iters run
+    in 3 stages (``:99-220``),
+  - ``relative_to_global`` pose composition (``:348-356``) and ``keypoints``
+    connectivity collection (``:321-346``).
+
+TPU-native: instead of mutating a C++ hypergraph per edge, the map gathers a
+FIXED-SHAPE ``BAProblem`` (F keyframes x P point slots, padded) and calls the
+jitted LM solver; the padded problem shape means one compiled program serves
+every window. Points are padded to ``max_points``; extra tracks are dropped
+by track length (longest kept).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from deep_visual_slam_tpu.slam.ba import BAProblem, photometric_ba
+from deep_visual_slam_tpu.slam.frontend import Frame, Point, match_frame_kps
+
+
+class Map:
+    def __init__(self, alpha: float = 0.5, num_kf: int = 7, max_points: int = 256):
+        self.frames: List[Frame] = []
+        self.points: List[Point] = []
+        self.keyframes: List[Frame] = []
+        self.frame_idx = 0
+        self.pt_idx = 0
+        self.num_kf = num_kf
+        self.alpha = alpha
+        self.max_points = max_points
+
+    # ------------------------------------------------------------- registry
+    def add_frame(self, frame) -> int:
+        ret = self.frame_idx
+        self.frame_idx += 1
+        self.frames.append(frame)
+        return ret
+
+    def add_point(self, pt) -> int:
+        ret = self.pt_idx
+        self.pt_idx += 1
+        self.points.append(pt)
+        return ret
+
+    # ----------------------------------------------------------- keyframes
+    def check_add_key_frame(self, frame: Frame) -> bool:
+        """Keyframe policy + window marginalization (reference ``:41-56``)."""
+        key_frame = frame.id == 0 or self.check_key_frame(frame)
+        if key_frame:
+            self.keyframes.append(frame)
+        if len(self.keyframes) >= self.num_kf:
+            self.keyframes[0].marginalize = True
+        return key_frame
+
+    def check_key_frame(self, frame: Frame) -> bool:
+        """Score ``0.6 * f + 0.4 * ft > 1`` (reference ``:59-97``):
+        f  = RMS keypoint displacement vs the last keyframe,
+        ft = RMS displacement after removing relative rotation (homography
+             ``R1 @ R2^-1``), i.e. the translation-induced flow."""
+        last_kf = self.keyframes[-1]
+        l1, l2 = match_frame_kps(last_kf, frame)
+        if not l1:
+            return True  # lost tracking -> force a keyframe
+        R1 = last_kf.pose[:3, :3]
+        R2 = frame.pose[:3, :3]
+        homography_t = R1 @ np.linalg.inv(R2)
+
+        f = 0.0
+        ft = 0.0
+        for i1, i2 in zip(l1, l2):
+            x1, y1 = last_kf.kps[i1]
+            x2, y2 = frame.kps[i2]
+            f += (x1 - x2) ** 2 + (y1 - y2) ** 2
+            p = homography_t @ np.array([x2, y2, 1.0])
+            ft += (x1 - p[0] / p[2]) ** 2 + (y1 - p[1] / p[2]) ** 2
+        f = np.sqrt(f / len(l1))
+        ft = np.sqrt(ft / len(l1))
+        return 0.6 * f + 0.4 * ft > 1.0
+
+    # ------------------------------------------------------------ geometry
+    def relative_to_global(self) -> List[np.ndarray]:
+        """Global poses of all frames (frames store T_cw already; kept for
+        API parity with reference ``:348-356``)."""
+        return [f.pose.copy() for f in self.frames]
+
+    def keypoints(self, frames: Optional[List[Frame]] = None) -> Dict[Point, List[Tuple[Frame, int]]]:
+        """Points visible in >= 2 of the given keyframes, with their
+        (frame, kp-index) observations (reference ``:321-346``)."""
+        frames = self.keyframes if frames is None else frames
+        frame_set = set(id(f) for f in frames)
+        out: Dict[Point, List[Tuple[Frame, int]]] = {}
+        seen = set()
+        for f in frames:
+            for pt in f.pts.values():
+                if not pt.valid or id(pt) in seen:
+                    continue
+                seen.add(id(pt))
+                local = [
+                    (fr, idx)
+                    for fr, idx in zip(pt.frames, pt.idxs)
+                    if id(fr) in frame_set
+                ]
+                if len(local) > 1:
+                    out[pt] = local
+        return out
+
+    # ------------------------------------------------------------- backend
+    def _build_problem(
+        self, intrinsic: np.ndarray, frames: List[Frame], max_points: int
+    ) -> Optional[Tuple[BAProblem, List[Point]]]:
+        kpts = self.keypoints(frames)
+        if not kpts:
+            return None
+        # Longest tracks first; fixed P slots.
+        items = sorted(kpts.items(), key=lambda kv: -len(kv[1]))[:max_points]
+
+        F = len(frames)
+        frame_index = {id(f): i for i, f in enumerate(frames)}
+        H, W = frames[0].image.shape[:2]
+        P = max_points
+
+        host_uv = np.zeros((P, 2), np.float32)
+        host_idx = np.zeros(P, np.int32)
+        depths = np.full(P, 1.0, np.float32)
+        obs = np.zeros((P, F), bool)
+        weight = np.zeros(P, np.float32)
+
+        points: List[Point] = []
+        for p_i, (pt, local) in enumerate(items):
+            host_frame, host_kp_idx = local[0]
+            x, y = host_frame.kps[host_kp_idx]
+            host_uv[p_i] = (x, y)
+            host_idx[p_i] = frame_index[id(host_frame)]
+            depths[p_i] = max(0.01, float(host_frame.depth[y, x]))
+            for fr, _ in local:
+                obs[p_i, frame_index[id(fr)]] = True
+            unc = float(host_frame.uncertainty[y, x])
+            weight[p_i] = self.alpha**2 / (self.alpha**2 + np.sqrt(abs(unc)) ** 2)
+            points.append(pt)
+
+        images = np.stack(
+            [
+                f.a * np.asarray(f.image, np.float32) + f.b
+                for f in frames
+            ]
+        )
+        if images.ndim == 3:
+            images = images[..., None].repeat(3, axis=-1)
+
+        problem = BAProblem(
+            images=jnp.asarray(images),
+            K=jnp.asarray(intrinsic, jnp.float32),
+            poses=jnp.asarray(np.stack([f.pose for f in frames]), jnp.float32),
+            depths=jnp.asarray(depths),
+            host_uv=jnp.asarray(host_uv),
+            host_idx=jnp.asarray(host_idx),
+            obs_mask=jnp.asarray(obs),
+            weight=jnp.asarray(weight),
+        )
+        return problem, points
+
+    def _write_back(self, frames, points, poses, depths) -> None:
+        poses = np.asarray(poses, np.float64)
+        depths = np.asarray(depths)
+        for i, f in enumerate(frames):
+            f.pose = poses[i]
+        for p_i, pt in enumerate(points):
+            pt.update_host_depth(max(0.01, float(depths[p_i])))
+
+    def optimize(self, intrinsic: np.ndarray, iters: int = 6, verbose: bool = False) -> bool:
+        """Windowed BA over current keyframes + marginalization
+        (reference ``:222-319``)."""
+        window = self.keyframes[-self.num_kf:]
+        built = self._build_problem(intrinsic, window, self.max_points)
+        if built is None:
+            return False
+        problem, points = built
+        poses, depths, diag = photometric_ba(problem, num_iters=iters)
+        if verbose:
+            print(f"windowed BA chi2: {float(diag['chi2']):.6f}")
+        self._write_back(window, points, poses, depths)
+
+        # Marginalize the oldest keyframe once the window is full: its points
+        # become invalid (reference ``:296-319``).
+        if len(self.keyframes) >= self.num_kf:
+            old = self.keyframes.pop(0)
+            for pt in old.pts.values():
+                pt.valid = False
+        return True
+
+    def global_bundle_adjustment(
+        self, intrinsic: np.ndarray, iters: int = 20, verbose: bool = True
+    ) -> bool:
+        """BA over ALL keyframes, staged x3 (reference ``:99-220``)."""
+        frames = self.keyframes
+        if len(frames) < 2:
+            return False
+        built = self._build_problem(
+            intrinsic, frames, max(self.max_points, 512)
+        )
+        if built is None:
+            return False
+        problem, points = built
+        poses, depths = problem.poses, problem.depths
+        for stage in range(3):
+            problem = problem._replace(poses=poses, depths=depths)
+            poses, depths, diag = photometric_ba(
+                problem, num_iters=max(iters // 3, 1)
+            )
+            if verbose:
+                print(f"global BA stage {stage + 1}: chi2 {float(diag['chi2']):.6f}")
+        self._write_back(frames, points, poses, depths)
+        return True

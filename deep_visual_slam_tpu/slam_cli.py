@@ -1,0 +1,142 @@
+"""CLI: offline SLAM over a video file or image directory.
+
+Parity target: reference ``slam/main.py`` (``OfflineRunner``): cv2 frame
+loop -> MonoVO.process_frame, ORB-match visualization frames, depth-colormap
+video, and the matplotlib 3D trajectory display (``slam/display.py``).
+
+Usage:
+    python -m deep_visual_slam_tpu.slam_cli --input video.mp4 \
+        [--output results/slam] [--max_frames N] [--global_ba]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+
+def iter_frames(path: str, image_size):
+    """Yield RGB float frames from a video file or an image directory."""
+    import cv2
+    import numpy as np
+
+    H, W = image_size
+    if os.path.isdir(path):
+        files = sorted(
+            glob.glob(os.path.join(path, "*.jpg"))
+            + glob.glob(os.path.join(path, "*.png"))
+        )
+        for fp in files:
+            img = cv2.imread(fp, cv2.IMREAD_COLOR)
+            if img is None:
+                continue
+            img = cv2.resize(img, (W, H))
+            yield cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    else:
+        cap = cv2.VideoCapture(path)
+        while True:
+            ok, img = cap.read()
+            if not ok:
+                break
+            img = cv2.resize(img, (W, H))
+            yield cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        cap.release()
+
+
+def depth_colormap(depth, max_depth=10.0):
+    import cv2
+    import numpy as np
+
+    d = np.clip(depth / max_depth, 0, 1)
+    return cv2.applyColorMap((d * 255).astype(np.uint8), cv2.COLORMAP_MAGMA)
+
+
+def save_trajectory_plot(traj, out_path: str) -> None:
+    """matplotlib 3D trajectory (reference ``slam/display.py:24-53``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    p = traj[:, :3, 3]
+    ax.plot(p[:, 0], p[:, 1], p[:, 2], "b-")
+    ax.scatter(p[0, 0], p[0, 1], p[0, 2], c="g", s=40)
+    ax.scatter(p[-1, 0], p[-1, 1], p[-1, 2], c="r", s=40)
+    ax.set_title("SLAM trajectory")
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Offline monocular SLAM")
+    parser.add_argument("--input", required=True, help="video file or image dir")
+    parser.add_argument("--output", default="results/slam")
+    parser.add_argument("--img_h", type=int, default=480)
+    parser.add_argument("--img_w", type=int, default=640)
+    parser.add_argument("--fx", type=float, default=525.0)
+    parser.add_argument("--fy", type=float, default=525.0)
+    parser.add_argument("--cx", type=float, default=None)
+    parser.add_argument("--cy", type=float, default=None)
+    parser.add_argument("--max_frames", type=int, default=0)
+    parser.add_argument("--global_ba", action="store_true")
+    parser.add_argument("--depth_video", action="store_true")
+    args = parser.parse_args()
+
+    import cv2
+    import numpy as np
+
+    from deep_visual_slam_tpu.slam import MonoVO
+
+    H, W = args.img_h, args.img_w
+    cx = args.cx if args.cx is not None else (W - 1) / 2
+    cy = args.cy if args.cy is not None else (H - 1) / 2
+    K = np.eye(4)
+    K[0, 0], K[1, 1], K[0, 2], K[1, 2] = args.fx, args.fy, cx, cy
+
+    if not os.path.exists(args.input):
+        parser.error(f"--input path does not exist: {args.input}")
+
+    os.makedirs(args.output, exist_ok=True)
+    vo = MonoVO(K, image_shape=(H, W))
+
+    writer = None
+    if args.depth_video:
+        writer = cv2.VideoWriter(
+            os.path.join(args.output, "depth.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"),
+            15,
+            (W, H),
+        )
+
+    n = 0
+    for frame in iter_frames(args.input, (H, W)):
+        depth, _, pose, _, _ = vo.process_frame(frame)
+        if writer is not None:
+            writer.write(depth_colormap(depth))
+        n += 1
+        if n % 10 == 0:
+            print(f"frame {n}: |t| = {np.linalg.norm(pose[:3, 3]):.3f} m, "
+                  f"{len(vo.mp.keyframes)} keyframes, {len(vo.mp.points)} points")
+        if args.max_frames and n >= args.max_frames:
+            break
+    if writer is not None:
+        writer.release()
+
+    if args.global_ba and len(vo.mp.keyframes) >= 2:
+        print("running global bundle adjustment...")
+        vo.mp.global_bundle_adjustment(K)
+
+    if n == 0:
+        print("no frames decoded from input; nothing to do")
+        return
+    traj = vo.trajectory()
+    np.save(os.path.join(args.output, "trajectory.npy"), traj)
+    save_trajectory_plot(traj, os.path.join(args.output, "trajectory.png"))
+    print(f"processed {n} frames -> {args.output}/trajectory.npy (+png)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,223 @@
+"""Self-supervised VO training engine (host loop).
+
+Parity target: reference ``vo/train.py`` (``Trainer``):
+  - epoch loop over the mono loader, joint Adam over depth+pose params
+    (``:114-117``), polynomial LR decay power 0.9 (``:120-124``),
+  - TensorBoard scalars + image panels (``:156-162,268-293``),
+  - validation every ``valid_freq`` epochs with a trajectory plot
+    (``:311-381``), checkpoint every ``save_freq`` epochs (``:383-415``).
+
+TPU-native differences:
+  - the whole step (fwd+bwd+update) is one jitted XLA program; bf16 compute,
+    no AMP GradScaler (unnecessary in bf16),
+  - optional multi-chip data parallelism via a device mesh (the reference is
+    single-GPU),
+  - orbax checkpoints with **auto-resume** (absent upstream, SURVEY.md §5.4),
+  - host data loading overlaps device compute via ``device_prefetch``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deep_visual_slam_tpu.data.loader import VoDataLoader, device_prefetch
+from deep_visual_slam_tpu.eval.traj_eval import EvalTrajectory
+from deep_visual_slam_tpu.models import DepthNet, PoseNet
+from deep_visual_slam_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+)
+from deep_visual_slam_tpu.training.state import (
+    TrainState,
+    init_vo_models,
+    make_optimizer,
+)
+from deep_visual_slam_tpu.training.steps import (
+    make_vo_eval_step,
+    make_vo_train_step,
+)
+from deep_visual_slam_tpu.training.vo_learner import VOLossConfig
+from deep_visual_slam_tpu.utils.checkpoint import CheckpointManager
+from deep_visual_slam_tpu.utils.config import experiment_name
+from deep_visual_slam_tpu.utils.logging import MetricsWriter, StepTimer
+
+
+def _dtype_from_config(config) -> jnp.dtype:
+    name = config["Train"].get("compute_dtype", "bfloat16")
+    return {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[name]
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Dict,
+        data_root: Optional[str] = None,
+        use_mesh: bool = True,
+    ):
+        self.config = config
+        t = config["Train"]
+        self.epochs = t["epoch"]
+        self.valid_freq = t.get("valid_freq", 2)
+        self.save_freq = t.get("save_freq", 1)
+        self.plot_interval = t.get("train_plot_interval", 1000)
+        self.image_shape = (t["img_h"], t["img_w"])
+        self.batch_size = t["batch_size"]
+
+        dtype = _dtype_from_config(config)
+        self.depth_model = DepthNet(dtype=dtype)
+        self.pose_model = PoseNet(dtype=dtype)
+        self.loss_cfg = VOLossConfig.from_config(config)
+
+        n_dev = config["Experiment"].get("num_devices") or len(jax.devices())
+        self.mesh = make_mesh(jax.devices()[:n_dev]) if use_mesh else None
+
+        # Data
+        self.data_loader = VoDataLoader(config, root_dir=data_root)
+        steps_per_epoch = max(len(self.data_loader.train_loader), 1)
+        self.steps_per_epoch = steps_per_epoch
+
+        # Optimizer: joint Adam over both networks, poly decay over all steps.
+        tx = make_optimizer(
+            init_lr=t["init_lr"],
+            total_steps=self.epochs * steps_per_epoch,
+            beta1=t.get("beta1", 0.9),
+            weight_decay=0.0,  # reference VO uses plain Adam (vo/train.py:114)
+            power=0.9,
+            end_lr=0.0,
+        )
+        variables = init_vo_models(
+            self.depth_model,
+            self.pose_model,
+            self.image_shape,
+            jax.random.PRNGKey(t.get("seed", 42)),
+        )
+        self.state = TrainState.create(
+            variables["params"], variables["batch_stats"], tx
+        )
+        if self.mesh is not None:
+            self.state = self.state.replace(
+                params=replicate(self.state.params, self.mesh),
+                batch_stats=replicate(self.state.batch_stats, self.mesh),
+                opt_state=replicate(self.state.opt_state, self.mesh),
+            )
+
+        # Steps
+        self.train_step = make_vo_train_step(
+            self.depth_model, self.pose_model, self.loss_cfg, mesh=self.mesh
+        )
+        self.eval_step = make_vo_eval_step(
+            self.depth_model, self.pose_model, self.loss_cfg, mesh=self.mesh
+        )
+
+        # Logging / checkpointing
+        exp = experiment_name(config)
+        log_dir = os.path.join(config["Directory"]["log_dir"], exp)
+        self.writer = MetricsWriter(log_dir)
+        ckpt_dir = os.path.join(config["Directory"]["weights"], exp)
+        self.ckpt = CheckpointManager(ckpt_dir)
+        self.start_epoch = 1
+        self.state, meta, step = self.ckpt.restore_latest(self.state)
+        if step is not None:
+            self.start_epoch = (meta or {}).get("epoch", 0) + 1
+            print(f"Resumed from checkpoint step {step} (epoch {self.start_epoch})")
+
+        self.eval_tool = EvalTrajectory()
+        self.timer = StepTimer()
+        self.rng = jax.random.PRNGKey(t.get("seed", 42) + 1)
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        self.data_loader.train_loader.set_epoch(epoch)
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        running: Dict[str, float] = {}
+        count = 0
+        for batch in device_prefetch(
+            self.data_loader.train_loader, sharding=sharding
+        ):
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, losses = self.train_step(self.state, batch, sub)
+            self.timer.tick()
+            count += 1
+            if count % 10 == 0 or count == 1:
+                host_losses = jax.device_get(losses)
+                for k, v in host_losses.items():
+                    running[k] = running.get(k, 0.0) + float(v)
+                step = int(jax.device_get(self.state.step))
+                self.writer.scalars(
+                    {k: float(v) for k, v in host_losses.items()},
+                    step,
+                    prefix="train/",
+                )
+                self.writer.scalar(
+                    "train/frames_per_sec",
+                    self.timer.throughput(self.batch_size),
+                    step,
+                )
+        self.writer.flush()
+        n = max(count // 10, 1)
+        return {k: v / n for k, v in running.items()}
+
+    def validate(self, epoch: int) -> Dict[str, float]:
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        self.eval_tool.reset()
+        agg: Dict[str, float] = {}
+        count = 0
+        for batch in device_prefetch(
+            self.data_loader.valid_loader, sharding=sharding
+        ):
+            self.rng, sub = jax.random.split(self.rng)
+            outputs, losses = self.eval_step(self.state, batch, sub)
+            host = jax.device_get(losses)
+            for k, v in host.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            count += 1
+            gt = batch.get("gt_pose_target_to_right")
+            self.eval_tool.update_state(
+                jax.device_get(outputs["cam_T_cam_right"]),
+                jax.device_get(gt) if gt is not None else None,
+            )
+        if count == 0:
+            return {}
+        metrics = {f"valid/{k}": v / count for k, v in agg.items()}
+        traj_stats = self.eval_tool.metrics()
+        metrics.update({f"valid/{k}": v for k, v in traj_stats.items()})
+        step = int(jax.device_get(self.state.step))
+        self.writer.scalars(metrics, step)
+        try:
+            self.writer.image(
+                "valid/trajectory",
+                self.eval_tool.eval_plot(f"epoch {epoch}"),
+                step,
+            )
+        except Exception as e:
+            print(f"trajectory plot failed: {e}")
+        self.writer.flush()
+        return metrics
+
+    def save_checkpoint(self, epoch: int) -> None:
+        step = int(jax.device_get(self.state.step))
+        self.ckpt.save(step, self.state, metadata={"epoch": epoch})
+
+    def train(self) -> None:
+        for epoch in range(self.start_epoch, self.epochs + 1):
+            train_metrics = self.train_epoch(epoch)
+            msg = ", ".join(
+                f"{k}={v:.4f}" for k, v in sorted(train_metrics.items())
+                if k in ("loss", "grad_norm")
+            )
+            print(f"epoch {epoch}/{self.epochs}: {msg} "
+                  f"({self.timer.throughput(self.batch_size):.1f} frames/s)")
+            if epoch % self.valid_freq == 0:
+                val = self.validate(epoch)
+                if "valid/loss" in val:
+                    print(f"  valid loss={val['valid/loss']:.4f}")
+            if epoch % self.save_freq == 0:
+                self.save_checkpoint(epoch)
+        self.writer.close()
+        self.ckpt.close()

@@ -56,7 +56,7 @@ def test_redwood_dataset_sample(redwood_root):
     s = ds.__getitem__(0, np.random.default_rng(0))
     assert s["target_image"].shape == (H, W, 3)
     assert s["source_left"].dtype == np.float32
-    assert s[("K", 1)][0, 0] == pytest.approx(s["K"][0, 0] / 2)
+    assert s["K_1"][0, 0] == pytest.approx(s["K"][0, 0] / 2)
 
 
 def test_redwood_test_mode_gt_poses(redwood_root):

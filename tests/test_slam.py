@@ -1,0 +1,100 @@
+"""SLAM frontend + map + MonoVO integration tests."""
+
+import numpy as np
+import pytest
+
+from deep_visual_slam_tpu.slam import (
+    Frame,
+    Map,
+    MonoVO,
+    Networks,
+    extract_features,
+    match_descriptors,
+)
+
+H, W = 96, 128
+
+
+def _textured_image(rng, shift=0):
+    """Checkerboard + noise image with enough corners for ORB."""
+    img = np.zeros((H, W, 3), np.float32)
+    tile = 8
+    for y in range(0, H, tile):
+        for x in range(0, W, tile):
+            if ((x + shift) // tile + y // tile) % 2 == 0:
+                img[y : y + tile, x : x + tile] = 0.8
+    img += rng.uniform(0, 0.2, size=img.shape).astype(np.float32)
+    return np.clip(img, 0, 1)
+
+
+def test_extract_features(rng):
+    img = _textured_image(rng)
+    kps, des = extract_features(img)
+    assert len(kps) > 50
+    assert des is not None and des.shape[1] == 32
+    assert kps[:, 0].max() < W and kps[:, 1].max() < H
+
+
+def test_match_descriptors_self(rng):
+    img = _textured_image(rng)
+    _, des = extract_features(img)
+    i1, i2 = match_descriptors(des, des)
+    # Self-match: identical descriptors, but Lowe ratio on duplicates may
+    # reject some; matched indices must agree where kept.
+    assert len(i1) > 0
+    assert all(a == b for a, b in zip(i1, i2)) or len(i1) > 10
+
+
+def test_match_shifted(rng):
+    img1 = _textured_image(rng)
+    img2 = np.roll(img1, 3, axis=1)  # shift right by 3 px
+    _, d1 = extract_features(img1)
+    k2, d2 = extract_features(img2)
+    i1, i2 = match_descriptors(d1, d2)
+    assert len(i1) > 20
+
+
+def test_map_keyframe_policy(rng):
+    m = Map(num_kf=3)
+    img = _textured_image(rng)
+    depth = np.full((H, W), 2.0, np.float32)
+    unc = np.zeros((H, W), np.float32)
+    f0 = Frame(m, img, depth, unc, np.eye(4))
+    assert m.check_add_key_frame(f0)  # first frame always a keyframe
+
+    # Identical frame: near-zero displacement -> not a keyframe.
+    f1 = Frame(m, img, depth, unc, np.eye(4))
+    assert not m.check_add_key_frame(f1)
+
+    # Strongly shifted frame -> keyframe.
+    img2 = np.roll(img, 16, axis=1)
+    f2 = Frame(m, img2, depth, unc, np.eye(4))
+    assert m.check_add_key_frame(f2)
+
+
+def test_monovo_pipeline_runs(rng):
+    """Full SLAM loop over a synthetic translating sequence (untrained nets)."""
+    from deep_visual_slam_tpu.data.synthetic import default_intrinsics
+
+    import jax.numpy as jnp
+
+    K = default_intrinsics(H, W)
+    vo = MonoVO(
+        K,
+        networks=Networks(image_shape=(H, W), dtype=jnp.float32),
+        image_shape=(H, W),
+        num_kf=4,
+        max_points=64,
+    )
+    base = _textured_image(rng)
+    for i in range(6):
+        frame = np.roll(base, 2 * i, axis=1)
+        out = vo.process_frame(frame, optimize=True)
+        assert out is not None
+    assert len(vo.mp.frames) == 6
+    assert len(vo.mp.keyframes) >= 1
+    traj = vo.trajectory()
+    assert traj.shape == (6, 4, 4)
+    assert np.isfinite(traj).all()
+    # Some points should have been tracked across frames.
+    assert len(vo.mp.points) > 10
