@@ -3,5 +3,17 @@
 from deep_visual_slam_tpu.models.resnet import ResNetEncoder
 from deep_visual_slam_tpu.models.depthnet import DepthNet, DepthDecoder
 from deep_visual_slam_tpu.models.posenet import PoseNet
+from deep_visual_slam_tpu.models.raft import RAFT, SmallRAFT, BasicRAFT
+from deep_visual_slam_tpu.models.flow_posenet import FlowPoseNet, FlowUpdateModule
 
-__all__ = ["ResNetEncoder", "DepthNet", "DepthDecoder", "PoseNet"]
+__all__ = [
+    "ResNetEncoder",
+    "DepthNet",
+    "DepthDecoder",
+    "PoseNet",
+    "RAFT",
+    "SmallRAFT",
+    "BasicRAFT",
+    "FlowPoseNet",
+    "FlowUpdateModule",
+]

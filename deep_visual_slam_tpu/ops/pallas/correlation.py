@@ -1,0 +1,143 @@
+"""RAFT correlation: all-pairs pyramid + windowed lookup (TPU formulations).
+
+Replaces both reference paths (SURVEY.md §2.5):
+  - ``CorrBlock`` (``model/raft/core/corr.py:12-60``): precomputed all-pairs
+    volume pyramid + bilinear window lookup,
+  - ``alt_cuda_corr`` (``model/raft/alt_cuda_corr/correlation_kernel.cu``):
+    the memory-efficient on-demand CUDA kernel.
+
+TPU insight: correlation is LINEAR in fmap2, so
+``<f1, bilinear(f2, c+d)> == bilinear(<f1, f2·>, c+d)`` — the on-demand
+lookup can therefore be computed as a shifted-warp dot product
+(49 fused warp-multiply-reduce passes) with bit-identical semantics to
+volume interpolation, no [H*W, H*W] volume in HBM, and ~25x fewer FLOPs
+than the dense einsum at RAFT's 1/8 resolution. Both paths are exposed;
+``memory_efficient=True`` selects the on-demand one.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deep_visual_slam_tpu.ops.warp import grid_sample
+
+
+def _avg_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 average pool, NHWC; odd trailing row/col dropped
+    (torch ``avg_pool2d`` floor semantics)."""
+    B, H, W, C = x.shape
+    x = x[:, : (H // 2) * 2, : (W // 2) * 2, :]
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.mean(axis=(2, 4))
+
+
+def build_corr_pyramid(
+    fmap1: jnp.ndarray,
+    fmap2: jnp.ndarray,
+    num_levels: int = 4,
+    memory_efficient: bool = False,
+):
+    """Precompute whatever the lookup needs.
+
+    dense:   levels of the full all-pairs volume
+             [B*H1*W1, H2/2^i, W2/2^i, 1], scaled by 1/sqrt(D)
+             (reference ``corr.py:52-60``).
+    lazy:    (fmap1, pooled fmap2 levels) — volume computed on demand.
+    """
+    if memory_efficient:
+        f2_levels = [fmap2]
+        for _ in range(num_levels - 1):
+            f2_levels.append(_avg_pool_2x(f2_levels[-1]))
+        return ("lazy", fmap1, f2_levels)
+
+    B, H1, W1, D = fmap1.shape
+    H2, W2 = fmap2.shape[1:3]
+    corr = jnp.einsum(
+        "bxyd,buvd->bxyuv", fmap1, fmap2, preferred_element_type=jnp.float32
+    ) / math.sqrt(D)
+    corr = corr.reshape(B * H1 * W1, H2, W2, 1)
+    levels = [corr]
+    for _ in range(num_levels - 1):
+        levels.append(_avg_pool_2x(levels[-1]))
+    return ("dense", (B, H1, W1), levels)
+
+
+def _window_deltas(radius: int) -> jnp.ndarray:
+    """[(2r+1)^2, 2] (dx, dy) offsets, dy-major like the reference's
+    meshgrid(dy, dx) ordering (``corr.py:37-40``)."""
+    r = radius
+    d = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    return jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)
+
+
+def _normalize_coords(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Pixel -> [-1, 1] with align_corners=True (RAFT's bilinear_sampler).
+
+    Degenerate 1-pixel levels (possible at test resolutions) map to center.
+    """
+    x = 2.0 * coords[..., 0] / max(w - 1, 1) - 1.0
+    y = 2.0 * coords[..., 1] / max(h - 1, 1) - 1.0
+    return jnp.stack([x, y], axis=-1)
+
+
+def _lookup_dense(shape, levels, coords, radius) -> jnp.ndarray:
+    B, H1, W1 = shape
+    r = radius
+    win = 2 * r + 1
+    deltas = _window_deltas(r).reshape(1, win, win, 2)
+    out = []
+    for i, corr in enumerate(levels):
+        hl, wl = corr.shape[1:3]
+        centroid = coords.reshape(B * H1 * W1, 1, 1, 2) / (2**i)
+        grid = _normalize_coords(centroid + deltas, hl, wl)
+        sampled = grid_sample(
+            corr, grid, align_corners=True, padding_mode="zeros"
+        )  # [BHW, win, win, 1]
+        out.append(sampled.reshape(B, H1, W1, win * win))
+    return jnp.concatenate(out, axis=-1)
+
+
+def _lookup_lazy(fmap1, f2_levels, coords, radius) -> jnp.ndarray:
+    """On-demand windowed correlation: for each offset d,
+    corr_d = <f1, warp(f2_level, coords/2^i + d)> / sqrt(D).
+
+    Linear-in-f2 identity makes this equal to interpolating the dense volume.
+    All 49 offsets become fused warp-FMA-reduce passes on the VPU.
+    """
+    B, H1, W1, D = fmap1.shape
+    r = radius
+    win = 2 * r + 1
+    deltas = _window_deltas(r)  # [win^2, 2]
+    scale = 1.0 / math.sqrt(D)
+    out = []
+    for i, f2 in enumerate(f2_levels):
+        hl, wl = f2.shape[1:3]
+        centroid = coords / (2**i)  # [B, H1, W1, 2]
+
+        def corr_at(delta):
+            grid = _normalize_coords(centroid + delta, hl, wl)
+            warped = grid_sample(
+                f2, grid, align_corners=True, padding_mode="zeros"
+            )  # [B, H1, W1, D]
+            return jnp.sum(fmap1 * warped, axis=-1) * scale
+
+        level = jax.vmap(corr_at)(deltas)  # [win^2, B, H1, W1]
+        out.append(jnp.moveaxis(level, 0, -1))  # [B, H1, W1, win^2]
+    return jnp.concatenate(out, axis=-1)
+
+
+def corr_pyramid_lookup(pyramid, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Window lookup over all pyramid levels.
+
+    coords: [B, H1, W1, 2] target positions (pixels at level 0).
+    Returns [B, H1, W1, num_levels * (2*radius+1)^2].
+    """
+    kind = pyramid[0]
+    if kind == "dense":
+        return _lookup_dense(pyramid[1], pyramid[2], coords, radius)
+    return _lookup_lazy(pyramid[1], pyramid[2], coords, radius)

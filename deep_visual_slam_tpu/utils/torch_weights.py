@@ -1,0 +1,108 @@
+"""Torch -> Flax weight conversion for the ResNet encoder family.
+
+The reference initializes its encoders from torchvision ImageNet weights
+(``model/resnet_encoder.py:43-72``), including the multi-image first conv
+trick: tile conv1 weights across the stacked frames and divide by the count
+(``:66-67``). torchvision is not in this image, so conversion consumes a
+torch ``state_dict`` (e.g. ``torch.load``-ed from a user-provided file) and
+produces the Flax variables for ``models.resnet.ResNetEncoder``.
+
+Layout notes: torch conv kernels are [O, I, kh, kw]; Flax NHWC wants
+[kh, kw, I, O].
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+STAGES = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3), 50: (3, 4, 6, 3),
+          101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+
+
+def _k(w) -> np.ndarray:
+    """torch conv weight -> flax kernel."""
+    return np.asarray(w).transpose(2, 3, 1, 0)
+
+
+def _bn(sd: Mapping, prefix: str):
+    return (
+        {"scale": np.asarray(sd[prefix + ".weight"]),
+         "bias": np.asarray(sd[prefix + ".bias"])},
+        {"mean": np.asarray(sd[prefix + ".running_mean"]),
+         "var": np.asarray(sd[prefix + ".running_var"])},
+    )
+
+
+def convert_resnet_encoder(
+    state_dict: Mapping[str, "np.ndarray"],
+    num_layers: int = 18,
+    num_input_images: int = 1,
+) -> Dict:
+    """torchvision-style ResNet ``state_dict`` -> Flax ResNetEncoder variables.
+
+    Returns ``{"params": ..., "batch_stats": ...}`` matching the module tree
+    of ``models.resnet.ResNetEncoder(num_layers, num_input_images)``.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    stages = STAGES[num_layers]
+    bottleneck = num_layers > 34
+    block_name = "BottleneckBlock" if bottleneck else "BasicBlock"
+
+    params: Dict = {}
+    stats: Dict = {}
+
+    conv1 = _k(sd["conv1.weight"])
+    if num_input_images > 1:
+        # Tile input channels and renormalize (reference ``:66-67``).
+        conv1 = np.concatenate([conv1] * num_input_images, axis=2) / num_input_images
+    params["Conv_0"] = {"kernel": conv1}
+    p, s = _bn(sd, "bn1")
+    params["BatchNorm_0"] = p
+    stats["BatchNorm_0"] = s
+
+    block_i = 0
+    for stage_i, n_blocks in enumerate(stages):
+        for b in range(n_blocks):
+            t_pref = f"layer{stage_i + 1}.{b}"
+            name = f"{block_name}_{block_i}"
+            bp: Dict = {}
+            bs: Dict = {}
+            n_convs = 3 if bottleneck else 2
+            for ci in range(n_convs):
+                bp[f"Conv_{ci}"] = {"kernel": _k(sd[f"{t_pref}.conv{ci + 1}.weight"])}
+                p, s = _bn(sd, f"{t_pref}.bn{ci + 1}")
+                bp[f"BatchNorm_{ci}"] = p
+                bs[f"BatchNorm_{ci}"] = s
+            if f"{t_pref}.downsample.0.weight" in sd:
+                bp[f"Conv_{n_convs}"] = {
+                    "kernel": _k(sd[f"{t_pref}.downsample.0.weight"])
+                }
+                p, s = _bn(sd, f"{t_pref}.downsample.1")
+                bp[f"BatchNorm_{n_convs}"] = p
+                bs[f"BatchNorm_{n_convs}"] = s
+            params[name] = bp
+            stats[name] = bs
+            block_i += 1
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_pretrained_encoder_into(variables: Dict, encoder_variables: Dict, path=("encoder",)) -> Dict:
+    """Graft converted encoder variables into a larger model's variables
+    (e.g. DepthNet/PoseNet with an ``encoder`` submodule)."""
+    import copy
+
+    out = copy.deepcopy(
+        {"params": dict(variables["params"]),
+         "batch_stats": dict(variables["batch_stats"])}
+    )
+    node_p = out["params"]
+    node_s = out["batch_stats"]
+    for key in path[:-1]:
+        node_p = node_p[key]
+        node_s = node_s[key]
+    node_p[path[-1]] = encoder_variables["params"]
+    node_s[path[-1]] = encoder_variables["batch_stats"]
+    return out
