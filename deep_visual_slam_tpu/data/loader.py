@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
+import os
 import itertools
 from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence
 
@@ -176,6 +177,47 @@ class VoDataLoader:
             train_sets.append(h.train_dataset)
             valid_sets.append(h.valid_dataset)
             test_sets.append(h.test_dataset)
+
+        if config["Dataset"].get("mars_logger", {}).get("mono", False):
+            from deep_visual_slam_tpu.data.handlers import MarsLoggerDataHandler
+
+            h = MarsLoggerDataHandler(config, root_dir=root_dir)
+            train_sets.append(h.train_dataset)
+            valid_sets.append(h.valid_dataset)
+
+        if config["Dataset"].get("custom_data", {}).get("mono", False):
+            from deep_visual_slam_tpu.data.handlers import CustomRigDataset, _scene_dirs
+
+            root = os.path.join(config["Directory"]["data_dir"], "custom_data")
+            for fold, target, is_train in (
+                ("train", train_sets, True), ("valid", valid_sets, False)
+            ):
+                scenes = []
+                for scene in _scene_dirs(os.path.join(root, fold)):
+                    try:
+                        scenes.append(
+                            CustomRigDataset(scene, image_size, is_train, is_train)
+                        )
+                    except Exception as e:
+                        print(f"Warning: skipping custom scene {scene}: {e}")
+                if scenes:
+                    target.append(ConcatDataset(scenes))
+
+        if config["Dataset"].get("irs", {}).get("mono", False):
+            from deep_visual_slam_tpu.data.handlers import IrsDataset, _scene_dirs
+
+            root = os.path.join(config["Directory"]["data_dir"], "irs")
+            for fold, target, is_train in (
+                ("train", train_sets, True), ("valid", valid_sets, False)
+            ):
+                scenes = []
+                for scene in _scene_dirs(os.path.join(root, fold)):
+                    try:
+                        scenes.append(IrsDataset(scene, image_size, is_train, is_train))
+                    except Exception as e:
+                        print(f"Warning: skipping irs scene {scene}: {e}")
+                if scenes:
+                    target.append(ConcatDataset(scenes))
 
         syn_cfg = config["Dataset"].get("synthetic", {})
         if syn_cfg.get("mono", False):

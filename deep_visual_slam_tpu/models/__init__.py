@@ -5,6 +5,7 @@ from deep_visual_slam_tpu.models.depthnet import DepthNet, DepthDecoder
 from deep_visual_slam_tpu.models.posenet import PoseNet
 from deep_visual_slam_tpu.models.raft import RAFT, SmallRAFT, BasicRAFT
 from deep_visual_slam_tpu.models.flow_posenet import FlowPoseNet, FlowUpdateModule
+from deep_visual_slam_tpu.models.depth_anything import DepthAnythingV2
 
 __all__ = [
     "ResNetEncoder",
@@ -16,4 +17,5 @@ __all__ = [
     "BasicRAFT",
     "FlowPoseNet",
     "FlowUpdateModule",
+    "DepthAnythingV2",
 ]

@@ -94,3 +94,21 @@ def test_depthnet_jit_and_bf16(rng):
     # Params stay fp32.
     leaf = jax.tree_util.tree_leaves(variables["params"])[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_depth_anything_v2_forward(rng):
+    from deep_visual_slam_tpu.models import DepthAnythingV2
+    from deep_visual_slam_tpu.models.depth_anything import VIT_CONFIGS
+
+    m = DepthAnythingV2(encoder="vits", max_depth=20.0)
+    x = jnp.asarray(rng.uniform(size=(1, 70, 84, 3)).astype(np.float32))
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    d = m.apply(v, x)
+    assert d.shape == (1, 70, 84)
+    vals = np.asarray(d)
+    assert np.isfinite(vals).all()
+    assert (vals > 0).all() and (vals < 20.0).all()  # sigmoid * max_depth
+    # All four variants have configs with 4 tap layers.
+    for name, cfg in VIT_CONFIGS.items():
+        assert len(cfg["layers"]) == 4
+        assert cfg["layers"][-1] == cfg["depth"] - 1
