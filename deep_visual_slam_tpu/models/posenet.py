@@ -58,3 +58,40 @@ class PoseNet(nn.Module):
         out = jnp.mean(out.astype(jnp.float32), axis=(1, 2))  # [B, 6]
         out = 0.01 * out.reshape(-1, 1, 1, 6)
         return out[..., :3], out[..., 3:]
+
+
+class TwoEncoderPoseNet(nn.Module):
+    """Legacy variant: one ResNet encoder per image, squeezed features
+    concatenated, predicting 6*(num_input_images-1) params
+    (reference ``model/posenet.py:19-96``)."""
+
+    num_layers: int = 18
+    num_input_images: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B = x.shape[0]
+        n = self.num_input_images
+        images = jnp.split(x, n, axis=-1)
+        # One shared-weight encoder applied per frame (stacked on batch).
+        feats = ResNetEncoder(
+            num_layers=self.num_layers,
+            num_input_images=1,
+            dtype=self.dtype,
+            name="encoder",
+        )(jnp.concatenate(images, axis=0), train=train)[-1]
+
+        conv = lambda f, k, name: nn.Conv(  # noqa: E731
+            f, (k, k), padding=((k // 2, k // 2),) * 2,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name,
+        )
+        squeezed = nn.relu(conv(256, 1, "squeeze")(feats))
+        parts = jnp.split(squeezed, n, axis=0)
+        out = jnp.concatenate(parts, axis=-1)
+        out = nn.relu(conv(256, 3, "pose_0")(out))
+        out = nn.relu(conv(256, 3, "pose_1")(out))
+        out = conv(6 * (n - 1), 1, "pose_2")(out)
+        out = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
+        out = 0.01 * out.reshape(B, n - 1, 1, 6)
+        return out[..., :3], out[..., 3:]

@@ -137,11 +137,23 @@ class Trainer:
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         running: Dict[str, float] = {}
         count = 0
+        # Profiling hook (reference has none, SURVEY.md §5.1): set
+        # Train.profile_dir to capture an xplane trace of steps 2-6 of the
+        # first epoch, viewable in TensorBoard's profiler plugin.
+        profile_dir = self.config["Train"].get("profile_dir")
         for batch in device_prefetch(
             self.data_loader.train_loader, sharding=sharding
         ):
+            if profile_dir and epoch == self.start_epoch and count == 2:
+                jax.profiler.start_trace(profile_dir)
             self.rng, sub = jax.random.split(self.rng)
             self.state, losses = self.train_step(self.state, batch, sub)
+            if profile_dir and epoch == self.start_epoch and count == 6:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), losses
+                )
+                jax.profiler.stop_trace()
+                profile_dir = None
             self.timer.tick()
             count += 1
             if count % 10 == 0 or count == 1:
@@ -168,11 +180,26 @@ class Trainer:
         self.eval_tool.reset()
         agg: Dict[str, float] = {}
         count = 0
+        panel_done = False
         for batch in device_prefetch(
             self.data_loader.valid_loader, sharding=sharding
         ):
             self.rng, sub = jax.random.split(self.rng)
             outputs, losses = self.eval_step(self.state, batch, sub)
+            if not panel_done:
+                # target/warped/disp image panel (reference
+                # vo/utils/plot_utils.py, logged every validation).
+                try:
+                    from deep_visual_slam_tpu.utils.plot import vo_panel
+
+                    self.writer.image(
+                        "valid/panel",
+                        vo_panel(jax.device_get(batch), jax.device_get(outputs)),
+                        int(jax.device_get(self.state.step)),
+                    )
+                except Exception as e:
+                    print(f"panel render failed: {e}")
+                panel_done = True
             host = jax.device_get(losses)
             for k, v in host.items():
                 agg[k] = agg.get(k, 0.0) + float(v)

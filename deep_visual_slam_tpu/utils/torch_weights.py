@@ -54,8 +54,10 @@ def convert_resnet_encoder(
     stats: Dict = {}
 
     conv1 = _k(sd["conv1.weight"])
-    if num_input_images > 1:
-        # Tile input channels and renormalize (reference ``:66-67``).
+    if num_input_images > 1 and conv1.shape[2] == 3:
+        # ImageNet-style 3-channel weights: tile input channels and
+        # renormalize (reference ``:66-67``). Checkpoints trained with the
+        # multi-image conv already store 3*N channels and pass through.
         conv1 = np.concatenate([conv1] * num_input_images, axis=2) / num_input_images
     params["Conv_0"] = {"kernel": conv1}
     p, s = _bn(sd, "bn1")
@@ -106,3 +108,83 @@ def load_pretrained_encoder_into(variables: Dict, encoder_variables: Dict, path=
     node_p[path[-1]] = encoder_variables["params"]
     node_s[path[-1]] = encoder_variables["batch_stats"]
     return out
+
+
+def convert_depthnet(state_dict: Mapping, num_layers: int = 18) -> Dict:
+    """Reference torch ``DepthNet`` state_dict -> Flax ``models.DepthNet``.
+
+    Reference naming: the encoder lives under ``encoder.encoder.*``
+    (ResnetEncoder wraps a torchvision resnet, ``model/resnet_encoder.py:93``)
+    and the decoder is an ``nn.ModuleList`` over the OrderedDict values in
+    construction order (``model/depthnet.py:43-60``):
+    indices 0..9 = upconv(i, 0/1) for i = 4..0, 10..13 = dispconv(0..3).
+    ConvBlock params sit at ``decoder.N.conv.conv.{weight,bias}``; Conv3x3
+    (dispconv) at ``decoder.N.conv.{weight,bias}``.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    enc_sd = {
+        k[len("encoder.encoder."):]: v
+        for k, v in sd.items()
+        if k.startswith("encoder.encoder.")
+    }
+    enc = convert_resnet_encoder(enc_sd, num_layers, 1)
+
+    dec_params: Dict = {}
+    idx = 0
+    for i in range(4, -1, -1):
+        for j in range(2):
+            dec_params[f"upconv_{i}_{j}"] = {
+                "ReflectConv3x3_0": {
+                    "Conv_0": {
+                        "kernel": _k(sd[f"decoder.{idx}.conv.conv.weight"]),
+                        "bias": np.asarray(sd[f"decoder.{idx}.conv.conv.bias"]),
+                    }
+                }
+            }
+            idx += 1
+    for s in range(4):
+        dec_params[f"dispconv_{s}"] = {
+            "Conv_0": {
+                "kernel": _k(sd[f"decoder.{idx}.conv.weight"]),
+                "bias": np.asarray(sd[f"decoder.{idx}.conv.bias"]),
+            }
+        }
+        idx += 1
+
+    return {
+        "params": {"encoder": enc["params"], "decoder": dec_params},
+        "batch_stats": {"encoder": enc["batch_stats"]},
+    }
+
+
+def convert_posenet(state_dict: Mapping, num_layers: int = 18) -> Dict:
+    """Reference torch ``PoseNet`` state_dict -> Flax ``models.PoseNet``.
+
+    Head naming: ``net.0`` = squeeze 1x1, ``net.1/2`` = 3x3 pose convs,
+    ``net.3`` = final 1x1 (``model/posenet_single.py:165-172``).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    enc_sd = {
+        k[len("encoder.encoder."):]: v
+        for k, v in sd.items()
+        if k.startswith("encoder.encoder.")
+    }
+    enc = convert_resnet_encoder(enc_sd, num_layers, 2)
+
+    def head(i):
+        return {
+            "kernel": _k(sd[f"net.{i}.weight"]),
+            "bias": np.asarray(sd[f"net.{i}.bias"]),
+        }
+
+    params = {
+        "encoder": enc["params"],
+        "squeeze": head(0),
+        "pose_0": head(1),
+        "pose_1": head(2),
+        "pose_2": head(3),
+    }
+    return {
+        "params": params,
+        "batch_stats": {"encoder": enc["batch_stats"]},
+    }

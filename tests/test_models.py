@@ -112,3 +112,34 @@ def test_depth_anything_v2_forward(rng):
     for name, cfg in VIT_CONFIGS.items():
         assert len(cfg["layers"]) == 4
         assert cfg["layers"][-1] == cfg["depth"] - 1
+
+
+def test_two_encoder_posenet(rng):
+    from deep_visual_slam_tpu.models.posenet import TwoEncoderPoseNet
+
+    net = TwoEncoderPoseNet()
+    pair = jnp.asarray(rng.uniform(size=(2, 64, 96, 6)).astype(np.float32))
+    v = jax.jit(net.init)(jax.random.PRNGKey(0), pair)
+    aa, t = net.apply(v, pair)
+    assert aa.shape == (2, 1, 1, 3) and t.shape == (2, 1, 1, 3)
+    # Shared encoder: params contain ONE encoder tree.
+    assert "encoder" in v["params"] and "encoder_1" not in v["params"]
+
+
+def test_plot_panels(rng):
+    from deep_visual_slam_tpu.utils.plot import depth_panel, vo_panel
+
+    H, W = 16, 24
+    batch = {"target_image": rng.uniform(size=(1, H, W, 3)).astype(np.float32)}
+    outputs = {
+        "color_left_0": rng.uniform(size=(1, H, W, 3)).astype(np.float32),
+        "color_right_0": rng.uniform(size=(1, H, W, 3)).astype(np.float32),
+        "disp_0": rng.uniform(size=(1, H, W, 1)).astype(np.float32),
+    }
+    panel = vo_panel(batch, outputs)
+    assert panel.shape == (H, 4 * W, 3) and panel.dtype == np.uint8
+    dp = depth_panel(
+        rng.uniform(size=(H, W, 3)), rng.uniform(1, 9, size=(H, W)),
+        rng.uniform(1, 9, size=(H, W)),
+    )
+    assert dp.shape == (H, 3 * W, 3)

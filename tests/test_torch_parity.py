@@ -116,3 +116,151 @@ def test_resnet18_forward_parity(rng, num_input_images):
         b = b.permute(0, 2, 3, 1).numpy()
         assert a.shape == b.shape, (i, a.shape, b.shape)
         np.testing.assert_allclose(a, b, atol=2e-4, err_msg=f"feature {i}")
+
+
+class _TorchConv3x3(nn.Module):
+    def __init__(self, inp, out):
+        super().__init__()
+        self.pad = nn.ReflectionPad2d(1)
+        self.conv = nn.Conv2d(inp, out, 3)
+
+    def forward(self, x):
+        return self.conv(self.pad(x))
+
+
+class _TorchConvBlock(nn.Module):
+    def __init__(self, inp, out):
+        super().__init__()
+        self.conv = _TorchConv3x3(inp, out)
+        self.nonlin = nn.ELU()
+
+    def forward(self, x):
+        return self.nonlin(self.conv(x))
+
+
+class TorchDepthNet(nn.Module):
+    """Reference-architecture DepthNet rebuilt for the parity test."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = nn.Module()
+        self.encoder.encoder = TorchResNet18()
+        num_ch_enc = [64, 64, 128, 256, 512]
+        num_ch_dec = [16, 32, 64, 128, 256]
+        convs = []
+        for i in range(4, -1, -1):
+            cin = num_ch_enc[-1] if i == 4 else num_ch_dec[i + 1]
+            convs.append(_TorchConvBlock(cin, num_ch_dec[i]))
+            cin = num_ch_dec[i] + (num_ch_enc[i - 1] if i > 0 else 0)
+            convs.append(_TorchConvBlock(cin, num_ch_dec[i]))
+        for s in range(4):
+            convs.append(_TorchConv3x3(num_ch_dec[s], 1))
+        self.decoder = nn.ModuleList(convs)
+
+    def forward(self, x):
+        x = (x - 0.45) / 0.225
+        e = self.encoder.encoder
+        feats = []
+        y = torch.relu(e.bn1(e.conv1(x)))
+        feats.append(y)
+        y = e.maxpool(y)
+        for layer in (e.layer1, e.layer2, e.layer3, e.layer4):
+            y = layer(y)
+            feats.append(y)
+        outputs = {}
+        y = feats[-1]
+        for k, i in enumerate(range(4, -1, -1)):
+            y = self.decoder[2 * k](y)
+            y = nn.functional.interpolate(y, scale_factor=2, mode="nearest")
+            if i > 0:
+                y = torch.cat([y, feats[i - 1]], 1)
+            y = self.decoder[2 * k + 1](y)
+            if i in range(4):
+                outputs[i] = torch.sigmoid(self.decoder[10 + i](y))
+        return outputs
+
+
+def test_depthnet_full_parity(rng):
+    """Whole-model numeric parity: converter + Flax DepthNet == torch."""
+    from deep_visual_slam_tpu.models import DepthNet
+    from deep_visual_slam_tpu.utils.torch_weights import convert_depthnet
+
+    torch.manual_seed(1)
+    net = TorchDepthNet()
+    for m in net.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.5, 1.5)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+
+    variables = convert_depthnet(sd)
+    flax_net = DepthNet()
+    x = rng.uniform(size=(1, 64, 96, 3)).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    out_flax = flax_net.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    with torch.no_grad():
+        out_torch = net(torch.from_numpy(x).permute(0, 3, 1, 2))
+    for s in range(4):
+        a = np.asarray(out_flax[("disp", s)])
+        b = out_torch[s].permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(a, b, atol=5e-5, err_msg=f"disp {s}")
+
+
+def test_posenet_full_parity(rng):
+    from deep_visual_slam_tpu.models import PoseNet
+    from deep_visual_slam_tpu.utils.torch_weights import convert_posenet
+
+    class TorchPoseNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = nn.Module()
+            self.encoder.encoder = TorchResNet18(in_ch=6)
+            self.net = nn.ModuleList([
+                nn.Conv2d(512, 256, 1),
+                nn.Conv2d(256, 256, 3, 1, 1),
+                nn.Conv2d(256, 256, 3, 1, 1),
+                nn.Conv2d(256, 6, 1),
+            ])
+
+        def forward(self, x):
+            x = (x - 0.45) / 0.225
+            e = self.encoder.encoder
+            y = torch.relu(e.bn1(e.conv1(x)))
+            y = e.maxpool(y)
+            for layer in (e.layer1, e.layer2, e.layer3, e.layer4):
+                y = layer(y)
+            y = torch.relu(self.net[0](y))
+            y = torch.relu(self.net[1](y))
+            y = torch.relu(self.net[2](y))
+            y = self.net[3](y)
+            out = 0.01 * y.mean(3).mean(2).view(-1, 1, 1, 6)
+            return out[..., :3], out[..., 3:]
+
+    torch.manual_seed(2)
+    net = TorchPoseNet()
+    for m in net.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.uniform_(-0.2, 0.2)
+            m.running_var.uniform_(0.5, 1.5)
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    variables = convert_posenet(sd)
+
+    from deep_visual_slam_tpu.models import PoseNet
+    import jax.numpy as jnp
+
+    x = rng.uniform(size=(2, 64, 96, 6)).astype(np.float32)
+    aa_f, t_f = PoseNet().apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x), train=False,
+    )
+    with torch.no_grad():
+        aa_t, t_t = net(torch.from_numpy(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(aa_f), aa_t.numpy(), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t_f), t_t.numpy(), atol=1e-6)
