@@ -188,3 +188,13 @@ def convert_posenet(state_dict: Mapping, num_layers: int = 18) -> Dict:
         "params": params,
         "batch_stats": {"encoder": enc["batch_stats"]},
     }
+
+
+def strip_compile_prefix(state_dict: Mapping) -> Dict:
+    """Remove torch.compile's ``_orig_mod.`` prefixes from checkpoint keys
+    (reference ``vo/train.py:28-36`` / ``vo/utils/utils.py:13-21``), so
+    compiled-model checkpoints convert cleanly."""
+    return {
+        (k[len("_orig_mod."):] if k.startswith("_orig_mod.") else k): v
+        for k, v in state_dict.items()
+    }

@@ -264,3 +264,11 @@ def test_posenet_full_parity(rng):
         aa_t, t_t = net(torch.from_numpy(x).permute(0, 3, 1, 2))
     np.testing.assert_allclose(np.asarray(aa_f), aa_t.numpy(), atol=1e-6)
     np.testing.assert_allclose(np.asarray(t_f), t_t.numpy(), atol=1e-6)
+
+
+def test_strip_compile_prefix():
+    from deep_visual_slam_tpu.utils.torch_weights import strip_compile_prefix
+
+    sd = {"_orig_mod.encoder.conv1.weight": 1, "plain.key": 2}
+    out = strip_compile_prefix(sd)
+    assert out == {"encoder.conv1.weight": 1, "plain.key": 2}
