@@ -122,6 +122,29 @@ class SnippetDataset:
         H, W = self.image_size
         return read_image_rgb(self.rgb_paths[idx], H, W)
 
+    def _load_triplet(self, indices) -> np.ndarray:
+        """Decode 3 frames; resize+normalize via the native C++ batch path
+        (``native/preprocess.cpp``) when available, else per-image cv2."""
+        H, W = self.image_size
+        try:
+            from deep_visual_slam_tpu.native import resize_normalize_batch
+
+            raws = []
+            for i in indices:
+                img = cv2.imread(self.rgb_paths[i], cv2.IMREAD_COLOR)
+                if img is None:
+                    raise FileNotFoundError(self.rgb_paths[i])
+                raws.append(img)
+            if len({r.shape for r in raws}) == 1:
+                out = resize_normalize_batch(
+                    np.stack(raws), H, W, swap_rb=True  # BGR -> RGB fused
+                )
+                if out is not None:
+                    return out
+        except Exception:
+            pass
+        return np.stack([self._load(i) for i in indices])
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         if rng is None:
             rng = np.random.default_rng()
@@ -131,9 +154,7 @@ class SnippetDataset:
         target_idx = idx + size_1
         right_idx = idx + size_1 + size_2
 
-        stack = np.stack(
-            [self._load(left_idx), self._load(target_idx), self._load(right_idx)]
-        )
+        stack = self._load_triplet([left_idx, target_idx, right_idx])
         if self.augment and rng.uniform() < 0.5:
             stack = color_jitter(stack, rng)
 
