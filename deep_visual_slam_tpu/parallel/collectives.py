@@ -5,6 +5,16 @@ collectives automatically and none of these are needed. They exist for
 explicitly-scheduled code (`shard_map` regions, Pallas ring kernels) and to
 give the trainer a single audited surface for cross-chip communication —
 psum for gradients, all_gather for eval metrics (SURVEY.md §5.8).
+
+Validated against the GSPMD path by ``tests/test_parallel.py``: a
+``shard_map``-explicit DP gradient step (psum) must produce the same update
+as the jit+NamedSharding trainer step, and ``all_gather`` must reconstruct
+the global eval batch on every device.
+
+jax 0.8 caveat (pinned by the tests): with default VMA checking
+(``check_vma=True``), AD inside ``shard_map`` auto-inserts the gradient psum
+for replicated inputs — explicit psum on gradients belongs only in
+``check_vma=False`` regions, or it double-counts.
 """
 
 from __future__ import annotations

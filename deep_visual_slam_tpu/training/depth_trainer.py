@@ -50,6 +50,10 @@ class Trainer:
         self.depth_model = DepthNet(dtype=dtype)
         self.loss_cfg = DepthLossConfig.from_config(config)
 
+        # Multi-host init: no-op single-process, jax.distributed on pods.
+        from deep_visual_slam_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
         n_dev = config["Experiment"].get("num_devices") or len(jax.devices())
         self.mesh = make_mesh(jax.devices()[:n_dev]) if use_mesh else None
 
@@ -68,8 +72,19 @@ class Trainer:
             jax.random.PRNGKey(t.get("seed", 42)),
             jnp.zeros((1, H, W, 3), jnp.float32),
         )
+        variables = {
+            "params": {"depth": dvars["params"]},
+            "batch_stats": {"depth": dvars["batch_stats"]},
+        }
+        # Pretrained bootstrap (reference depth nets also start from ImageNet
+        # encoders, model/resnet_encoder.py:94-98).
+        from deep_visual_slam_tpu.utils.pretrained import apply_depth_pretrained
+
+        variables, loaded_msgs = apply_depth_pretrained(variables, config)
+        for msg in loaded_msgs:
+            print(msg)
         self.state = TrainState.create(
-            {"depth": dvars["params"]}, {"depth": dvars["batch_stats"]}, tx
+            variables["params"], variables["batch_stats"], tx
         )
         if self.mesh is not None:
             self.state = self.state.replace(

@@ -74,6 +74,11 @@ class Trainer:
         self.pose_model = PoseNet(dtype=dtype)
         self.loss_cfg = VOLossConfig.from_config(config)
 
+        # Multi-host init: no-op single-process, jax.distributed on pods
+        # (SURVEY.md §5.8; the reference is single-GPU, vo/train.py:423-431).
+        from deep_visual_slam_tpu.parallel.distributed import init_distributed
+
+        init_distributed()
         n_dev = config["Experiment"].get("num_devices") or len(jax.devices())
         self.mesh = make_mesh(jax.devices()[:n_dev]) if use_mesh else None
 
@@ -97,6 +102,14 @@ class Trainer:
             self.image_shape,
             jax.random.PRNGKey(t.get("seed", 42)),
         )
+        # Pretrained bootstrap (reference vo/train.py:83-98 +
+        # model/resnet_encoder.py:94-98): ImageNet encoder and/or full
+        # depth+pose weights, grafted before the optimizer sees the params.
+        from deep_visual_slam_tpu.utils.pretrained import apply_vo_pretrained
+
+        variables, loaded_msgs = apply_vo_pretrained(variables, config)
+        for msg in loaded_msgs:
+            print(msg)
         self.state = TrainState.create(
             variables["params"], variables["batch_stats"], tx
         )

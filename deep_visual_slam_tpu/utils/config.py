@@ -53,6 +53,12 @@ VO_DEFAULTS: Dict[str, Any] = {
         "epoch": 31,
         "init_lr": 0.0001,
         "final_lr": 0.00001,
+        # Pretrained bootstrap (reference vo/train.py:83-98 hard-codes
+        # weights/vo/{depth,pose}_net_epoch_30.pth and ImageNet encoders via
+        # torchvision; here both are explicit nullable paths — .pth torch
+        # state_dicts or cached .npz pytrees, see utils/pretrained.py).
+        "pretrained_encoder": None,
+        "pretrained_weights": {"depth": None, "pose": None},
         # TPU-native knobs (no reference equivalent):
         "compute_dtype": "bfloat16",
         "seed": 42,

@@ -168,3 +168,37 @@ def test_redwood_evaluator_with_posenet(redwood_root):
     r = ev.evaluate_scene("apartment", use_scale_correction=True)
     assert np.isfinite(r["ate_rmse"])
     assert r["num_pairs"] == 19
+
+
+def test_plot_path_heatmaps(tmp_path):
+    """KITTI-style path/decision/speed panels render headlessly
+    (reference vo/utils/utils.py:319-415)."""
+    from deep_visual_slam_tpu.eval.trajectory import (
+        moving_average,
+        plot_path_heatmaps,
+        speeds_from_poses,
+    )
+
+    gt = _make_trajectory(n=60, step=0.5)
+    pred = gt.copy()
+    pred[:, 0, 3] += 0.1
+    rng = np.random.default_rng(0)
+    decision = rng.uniform(size=59)
+
+    files = plot_path_heatmaps(
+        "seq0", gt, pred, str(tmp_path), decision=decision, fps=10.0
+    )
+    assert [f.split("/")[-1] for f in files] == [
+        "seq0_path_2d.png", "seq0_decision_smoothed.png", "seq0_speed.png",
+    ]
+    import os
+    assert all(os.path.getsize(f) > 1000 for f in files)
+
+    # speed derivation: constant 0.5 m step at 10 fps => 5 m/s after frame 0.
+    straight = np.tile(np.eye(4), (20, 1, 1))
+    straight[:, 2, 3] = 0.5 * np.arange(20)
+    sp = speeds_from_poses(straight, fps=10.0)
+    np.testing.assert_allclose(sp[1:], 5.0, rtol=1e-6)
+    assert sp[0] == 0.0
+    # moving_average is same-length
+    assert moving_average(np.ones(20), 11).shape == (20,)

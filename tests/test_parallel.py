@@ -1,0 +1,141 @@
+"""Distributed backend: explicit shard_map collectives vs GSPMD, multi-host
+init no-op, and mesh/sharding helpers (SURVEY.md §2.6/§5.8).
+
+jax 0.8 semantics pinned here: with default VMA checking (check_vma=True),
+`jax.grad` inside `shard_map` ALREADY psums the cotangent of a replicated
+(P()) input across the data axis — explicit collectives on gradients belong
+only in `check_vma=False` (manually-scheduled) regions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from deep_visual_slam_tpu.parallel import (
+    DATA_AXIS,
+    all_gather,
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    pmean,
+    psum,
+    replicate,
+    shard_batch,
+)
+
+
+@pytest.fixture
+def mesh(cpu_devices):
+    return make_mesh(cpu_devices[:8])
+
+
+def test_init_distributed_single_process_noop():
+    assert init_distributed() == 1
+    assert init_distributed() == 1  # idempotent
+
+
+def _loss_inputs():
+    r = np.random.default_rng
+    w = jnp.asarray(r(0).normal(size=(4, 4)).astype(np.float32))
+    x = jnp.asarray(r(1).normal(size=(16, 4)).astype(np.float32))
+    y = jnp.asarray(r(2).normal(size=(16, 4)).astype(np.float32))
+    return w, x, y
+
+
+def test_explicit_psum_grads_match_gspmd(mesh):
+    """Manually-scheduled DP gradient (collectives.psum, check_vma=False)
+    equals the GSPMD jit+NamedSharding gradient — the audited-comms surface
+    computes exactly what the default path computes."""
+    w, x, y = _loss_inputs()
+
+    def loss_fn(w, x, y):
+        return jnp.mean((x @ w - y) ** 2)
+
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    wr = replicate(w, mesh)
+    g_gspmd = jax.jit(jax.grad(loss_fn))(wr, xs, ys)
+
+    n_global = x.size  # mean over all 16*4 elements
+
+    def shard_step(w, x, y):
+        local = jax.grad(lambda w: jnp.sum((x @ w - y) ** 2))(w)
+        return psum(local, DATA_AXIS) / n_global
+
+    g_explicit = jax.jit(
+        jax.shard_map(
+            shard_step,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(),
+            check_vma=False,  # manual mode: we schedule the psum ourselves
+        )
+    )(wr, xs, ys)
+
+    np.testing.assert_allclose(
+        np.asarray(g_gspmd), np.asarray(g_explicit), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_vma_autoreduces_grad_of_replicated_input(mesh):
+    """With default VMA checking, AD inserts the grad psum automatically —
+    adding collectives.psum on top would double-count (this pins the jax 0.8
+    behavior the trainers rely on via GSPMD)."""
+    w, x, y = _loss_inputs()
+
+    def shard_step(w, x, y):
+        # No explicit psum: the cotangent of the replicated w is auto-reduced.
+        return jax.grad(lambda w: jnp.sum((x @ w - y) ** 2))(w)
+
+    g = jax.jit(
+        jax.shard_map(
+            shard_step,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(),
+        )
+    )(
+        replicate(w, mesh),
+        jax.device_put(x, batch_sharding(mesh)),
+        jax.device_put(y, batch_sharding(mesh)),
+    )
+    g_true = jax.grad(lambda w: jnp.sum((x @ w - y) ** 2))(w)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_true), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_shard_map_all_gather_and_pmean(mesh):
+    """all_gather reconstructs the global eval batch on every device; pmean
+    averages a per-device metric."""
+    vals = jnp.arange(16, dtype=jnp.float32).reshape(16, 1)
+    sharded = shard_batch({"v": vals}, mesh)["v"]
+
+    def gather_fn(v):
+        g = all_gather(v, DATA_AXIS)  # [8, 2, 1] on every device
+        m = pmean(jnp.mean(v), DATA_AXIS)
+        return g.reshape(-1, 1), m
+
+    gathered, mean = jax.jit(
+        jax.shard_map(
+            gather_fn,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS),),
+            out_specs=(P(), P()),
+            # gathered IS replicated, but VMA inference can't prove it for
+            # all_gather outputs — manual mode, like all explicit-collective
+            # regions.
+            check_vma=False,
+        )
+    )(sharded)
+    np.testing.assert_array_equal(np.asarray(gathered), np.asarray(vals))
+    assert float(mean) == pytest.approx(float(vals.mean()))
+
+
+def test_shard_batch_places_on_data_axis(mesh):
+    batch = {"x": np.zeros((16, 3), np.float32)}
+    out = shard_batch(batch, mesh)
+    shard_shapes = {s.data.shape for s in out["x"].addressable_shards}
+    assert shard_shapes == {(2, 3)}
