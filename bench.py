@@ -25,6 +25,51 @@ import numpy as np
 BASELINE_FPS = 60.0  # north-star: >= 60 FPS/chip (BASELINE.md)
 
 
+def slam_bench(n_frames: int = 48, warmup: int = 10) -> None:
+    """Time the FULL SLAM loop — ``MonoVO.process_frame`` (fused depth+pose
+    dispatch, ORB extraction, matching, keyframe policy, jitted windowed BA)
+    — over a synthetic textured 640x480 sequence, with the per-stage split.
+
+    This is the reference per-frame pipeline ``slam/MonoVO.py:15-38``; the
+    default bench mode times only the network stack.
+    """
+    from deep_visual_slam_tpu.data.synthetic import (
+        default_intrinsics,
+        synthetic_slam_sequence,
+    )
+    from deep_visual_slam_tpu.slam.monovo import MonoVO
+
+    H, W = 480, 640
+    frames, K, _ = synthetic_slam_sequence(n_frames + warmup, H, W, seed=0)
+    vo = MonoVO(default_intrinsics(H, W), image_shape=(H, W))
+
+    for f in frames[:warmup]:  # compiles the fused net step + the BA program
+        vo.process_frame(f)
+    vo.timings = {k: 0.0 for k in vo.timings}
+    kf_before = vo.n_keyframes
+
+    start = time.perf_counter()
+    for f in frames[warmup:]:
+        vo.process_frame(f)
+    elapsed = time.perf_counter() - start
+
+    fps = n_frames / elapsed
+    stage_ms = {k: round(v / n_frames * 1000, 2) for k, v in vo.timings.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "slam_e2e_fps_per_chip_640x480",
+                "value": round(fps, 2),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "per_frame_ms": stage_ms,
+                "keyframes": vo.n_keyframes - kf_before,
+                "frames": n_frames,
+            }
+        )
+    )
+
+
 def main() -> None:
     from deep_visual_slam_tpu.models import DepthNet, PoseNet
     from deep_visual_slam_tpu.ops import (
@@ -98,4 +143,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--slam" in sys.argv:
+        slam_bench()
+    else:
+        main()

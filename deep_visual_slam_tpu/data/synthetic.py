@@ -119,6 +119,59 @@ def synthetic_vo_batch(
     return batch, truth
 
 
+def synthetic_slam_sequence(
+    n_frames: int,
+    height: int,
+    width: int,
+    seed: int = 0,
+    step_translation: float = 0.01,
+    step_rotation: float = 0.002,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Temporally coherent camera sweep for SLAM-loop benchmarks/tests.
+
+    Returns (frames [N, H, W, 3] float32 in [0,1], K [4,4], gt_poses
+    [N, 4, 4] global T_cw). Unlike :func:`smooth_texture` snippets, the
+    texture is high-contrast (blocky + smooth mix) so ORB finds and matches
+    corners; each frame is the slanted plane seen along a smooth random-walk
+    camera path (inverse-warp render, exact for the planar scene away from
+    borders — same scheme as :func:`synthetic_vo_batch`).
+    """
+    rng = np.random.default_rng(seed)
+    # Blocky high-contrast texture: 8x8 cells + smooth shading.
+    cells = rng.uniform(size=(height // 8 + 1, width // 8 + 1, 3)).astype(np.float32)
+    blocky = np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1)[:height, :width]
+    tex = 0.75 * blocky + 0.25 * smooth_texture(rng, 1, height, width)[0]
+    target = jnp.asarray(tex[None])
+
+    depth = jnp.asarray(plane_depth(1, height, width))
+    K_np = default_intrinsics(height, width)
+    K = jnp.asarray(K_np[None])
+    inv_K = jnp.linalg.inv(K)
+    pts = backproject(depth, inv_K)
+
+    frames = [np.asarray(target[0])]
+    poses = [np.eye(4, dtype=np.float32)]
+    T_cw = jnp.eye(4)[None]
+    for i in range(1, n_frames):
+        aa = jnp.asarray(
+            rng.uniform(-step_rotation, step_rotation, size=(1, 3)).astype(np.float32)
+        )
+        t = jnp.asarray(
+            rng.uniform(-step_translation, step_translation, size=(1, 3)).astype(np.float32)
+        )
+        T_rel = transformation_from_parameters(aa, t)  # prev -> cur camera
+        T_cw = T_rel @ T_cw
+        grid = project(pts, K, invert_se3(T_cw))
+        view = grid_sample(target, grid, align_corners=True, padding_mode="border")
+        frames.append(np.asarray(view[0]))
+        poses.append(np.asarray(T_cw[0], np.float32))
+    return (
+        np.stack(frames).astype(np.float32),
+        K_np.astype(np.float32),
+        np.stack(poses),
+    )
+
+
 class SyntheticVoDataset:
     """Indexable synthetic snippet dataset with the SnippetDataset interface.
 

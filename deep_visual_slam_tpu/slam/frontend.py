@@ -23,6 +23,34 @@ import numpy as np
 
 NUM_FEATURES = 3000
 
+# cv2 detector/matcher construction is not free; the SLAM loop is
+# single-threaded, so module-level singletons are safe and save per-frame
+# setup cost.
+_ORB: Optional["cv2.ORB"] = None
+_BF: Optional["cv2.BFMatcher"] = None
+
+
+def _get_orb():
+    global _ORB
+    if _ORB is None:
+        _ORB = cv2.ORB_create(
+            nfeatures=NUM_FEATURES,
+            scaleFactor=1.2,
+            nlevels=8,
+            edgeThreshold=31,
+            firstLevel=0,
+            WTA_K=2,
+            patchSize=31,
+        )
+    return _ORB
+
+
+def _get_matcher():
+    global _BF
+    if _BF is None:
+        _BF = cv2.BFMatcher(cv2.NORM_HAMMING)
+    return _BF
+
 
 def extract_features(image: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """ORB keypoints + descriptors from an RGB (or gray) image.
@@ -36,16 +64,7 @@ def extract_features(image: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray
         gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
     else:
         gray = img
-    orb = cv2.ORB_create(
-        nfeatures=NUM_FEATURES,
-        scaleFactor=1.2,
-        nlevels=8,
-        edgeThreshold=31,
-        firstLevel=0,
-        WTA_K=2,
-        patchSize=31,
-    )
-    kps, des = orb.detectAndCompute(gray, None)
+    kps, des = _get_orb().detectAndCompute(gray, None)
     if not kps:
         return np.zeros((0, 2), np.int32), None
     pts = np.array([(int(k.pt[0]), int(k.pt[1])) for k in kps], np.int32)
@@ -58,8 +77,7 @@ def match_descriptors(
     """Lowe-ratio KNN matching with dedup (reference ``:46-67``)."""
     if des1 is None or des2 is None or len(des1) < 2 or len(des2) < 2:
         return [], []
-    bf = cv2.BFMatcher(cv2.NORM_HAMMING)
-    matches = bf.knnMatch(des1, des2, k=2)
+    matches = _get_matcher().knnMatch(des1, des2, k=2)
     idx1, idx2 = [], []
     s1, s2 = set(), set()
     for pair in matches:

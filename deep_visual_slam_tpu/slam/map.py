@@ -41,6 +41,11 @@ class Map:
         self.num_kf = num_kf
         self.alpha = alpha
         self.max_points = max_points
+        # Device-resident image cache keyed by frame id: keyframe images are
+        # uploaded once, not re-transferred on every windowed-BA call (25 MB
+        # per call at 640x480xF=7 otherwise — the dominant cost over a
+        # remote-TPU link). Evicted when a frame leaves the keyframe set.
+        self._dev_images: Dict[int, "jnp.ndarray"] = {}
 
     # ------------------------------------------------------------- registry
     def add_frame(self, frame) -> int:
@@ -56,22 +61,35 @@ class Map:
         return ret
 
     # ----------------------------------------------------------- keyframes
-    def check_add_key_frame(self, frame: Frame) -> bool:
-        """Keyframe policy + window marginalization (reference ``:41-56``)."""
-        key_frame = frame.id == 0 or self.check_key_frame(frame)
+    def check_add_key_frame(self, frame: Frame, match_from_prev=None) -> bool:
+        """Keyframe policy + window marginalization (reference ``:41-56``).
+
+        ``match_from_prev`` optionally carries the already-computed
+        ``match_frame_kps(frames[-2], frame)`` result so the score doesn't
+        re-run the O(N^2) KNN match when the last keyframe IS the previous
+        frame (the common case).
+        """
+        key_frame = frame.id == 0 or self.check_key_frame(frame, match_from_prev)
         if key_frame:
             self.keyframes.append(frame)
         if len(self.keyframes) >= self.num_kf:
             self.keyframes[0].marginalize = True
         return key_frame
 
-    def check_key_frame(self, frame: Frame) -> bool:
+    def check_key_frame(self, frame: Frame, match_from_prev=None) -> bool:
         """Score ``0.6 * f + 0.4 * ft > 1`` (reference ``:59-97``):
         f  = RMS keypoint displacement vs the last keyframe,
         ft = RMS displacement after removing relative rotation (homography
              ``R1 @ R2^-1``), i.e. the translation-induced flow."""
         last_kf = self.keyframes[-1]
-        l1, l2 = match_frame_kps(last_kf, frame)
+        if (
+            match_from_prev is not None
+            and len(self.frames) >= 2
+            and last_kf is self.frames[-2]
+        ):
+            l1, l2 = match_from_prev
+        else:
+            l1, l2 = match_frame_kps(last_kf, frame)
         if not l1:
             return True  # lost tracking -> force a keyframe
         R1 = last_kf.pose[:3, :3]
@@ -118,16 +136,52 @@ class Map:
         return out
 
     # ------------------------------------------------------------- backend
+    def _device_image(self, f: Frame) -> "jnp.ndarray":
+        """Frame image as a cached on-device [H, W, 3] fp32 array with the
+        brightness affine applied (uploaded at most once per frame)."""
+        cached = self._dev_images.get(f.id)
+        if cached is None:
+            img = np.asarray(f.image, np.float32)
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=-1)
+            cached = jnp.asarray(f.a * img + f.b)
+            self._dev_images[f.id] = cached
+        return cached
+
+    def register_device_image(self, frame_id: int, image: "jnp.ndarray") -> None:
+        """Pre-seed the device cache (e.g. with the array already uploaded
+        for network inference). Only valid for a=1, b=0 frames."""
+        self._dev_images[frame_id] = image
+
+    def _evict_device_images(self) -> None:
+        live = {f.id for f in self.keyframes}
+        for fid in [k for k in self._dev_images if k not in live]:
+            del self._dev_images[fid]
+
     def _build_problem(
-        self, intrinsic: np.ndarray, frames: List[Frame], max_points: int
+        self,
+        intrinsic: np.ndarray,
+        frames: List[Frame],
+        max_points: int,
+        pad_frames: Optional[int] = None,
     ) -> Optional[Tuple[BAProblem, List[Point]]]:
+        """Gather the fixed-shape BAProblem.
+
+        ``pad_frames``: pad the frame axis to this size with identity-pose /
+        zero-image / zero-observation slots, so the windowed solver compiles
+        ONE program regardless of how full the window is (while the window
+        grows 2..num_kf, varying F would otherwise trigger a ~8 s XLA compile
+        per size). Padded slots get zero Hessian rows; LM damping keeps the
+        system solvable and their updates are exactly zero.
+        """
         kpts = self.keypoints(frames)
         if not kpts:
             return None
         # Longest tracks first; fixed P slots.
         items = sorted(kpts.items(), key=lambda kv: -len(kv[1]))[:max_points]
 
-        F = len(frames)
+        F_real = len(frames)
+        F = max(pad_frames or F_real, F_real)
         frame_index = {id(f): i for i, f in enumerate(frames)}
         H, W = frames[0].image.shape[:2]
         P = max_points
@@ -151,19 +205,19 @@ class Map:
             weight[p_i] = self.alpha**2 / (self.alpha**2 + np.sqrt(abs(unc)) ** 2)
             points.append(pt)
 
-        images = np.stack(
-            [
-                f.a * np.asarray(f.image, np.float32) + f.b
-                for f in frames
-            ]
-        )
-        if images.ndim == 3:
-            images = images[..., None].repeat(3, axis=-1)
+        images = jnp.stack([self._device_image(f) for f in frames])
+        poses = np.stack(
+            [f.pose for f in frames] + [np.eye(4)] * (F - F_real)
+        ).astype(np.float32)
+        if F > F_real:
+            images = jnp.concatenate(
+                [images, jnp.zeros((F - F_real, H, W, 3), jnp.float32)]
+            )
 
         problem = BAProblem(
-            images=jnp.asarray(images),
+            images=images,
             K=jnp.asarray(intrinsic, jnp.float32),
-            poses=jnp.asarray(np.stack([f.pose for f in frames]), jnp.float32),
+            poses=jnp.asarray(poses),
             depths=jnp.asarray(depths),
             host_uv=jnp.asarray(host_uv),
             host_idx=jnp.asarray(host_idx),
@@ -184,14 +238,16 @@ class Map:
         """Windowed BA over current keyframes + marginalization
         (reference ``:222-319``)."""
         window = self.keyframes[-self.num_kf:]
-        built = self._build_problem(intrinsic, window, self.max_points)
+        built = self._build_problem(
+            intrinsic, window, self.max_points, pad_frames=self.num_kf
+        )
         if built is None:
             return False
         problem, points = built
         poses, depths, diag = photometric_ba(problem, num_iters=iters)
         if verbose:
             print(f"windowed BA chi2: {float(diag['chi2']):.6f}")
-        self._write_back(window, points, poses, depths)
+        self._write_back(window, points, poses[: len(window)], depths)
 
         # Marginalize the oldest keyframe once the window is full: its points
         # become invalid (reference ``:296-319``).
@@ -199,6 +255,7 @@ class Map:
             old = self.keyframes.pop(0)
             for pt in old.pts.values():
                 pt.valid = False
+        self._evict_device_images()
         return True
 
     def global_bundle_adjustment(
@@ -209,7 +266,8 @@ class Map:
         if len(frames) < 2:
             return False
         built = self._build_problem(
-            intrinsic, frames, max(self.max_points, 512)
+            intrinsic, frames, max(self.max_points, 512),
+            pad_frames=self.num_kf,
         )
         if built is None:
             return False
@@ -222,5 +280,5 @@ class Map:
             )
             if verbose:
                 print(f"global BA stage {stage + 1}: chi2 {float(diag['chi2']):.6f}")
-        self._write_back(frames, points, poses, depths)
+        self._write_back(frames, points, poses[: len(frames)], depths)
         return True

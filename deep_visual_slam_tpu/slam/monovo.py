@@ -68,8 +68,16 @@ class Networks:
             aa, t = self.pose_model.apply(self._pv, pair, train=False)
             return transformation_from_parameters(aa[:, 0, 0], t[:, 0, 0])
 
+        @jax.jit
+        def _step(prev_img, cur_img):
+            # Fused depth+pose: ONE device dispatch per SLAM frame instead of
+            # two — halves the per-frame RPC overhead of a remote/tunnelled
+            # chip and lets XLA overlap the two networks.
+            return _depth(cur_img), _pose(prev_img, cur_img)
+
         self._depth_fn = _depth
         self._pose_fn = _pose
+        self._step_fn = _step
 
     def depth(self, image: np.ndarray) -> np.ndarray:
         """[H, W, 3] float image -> [H, W] metric depth."""
@@ -83,6 +91,22 @@ class Networks:
             jnp.asarray(image2, jnp.float32)[None],
         )
         return np.asarray(T[0], np.float64)
+
+    def step(self, prev_image: np.ndarray, image: np.ndarray):
+        """Fused per-frame inference: ([H,W] depth of ``image``, 4x4 relative
+        transform prev->cur) in a single device dispatch. Accepts host or
+        (already-uploaded) device arrays."""
+        depth, T = self._step_fn(
+            self.to_device(prev_image), self.to_device(image)
+        )
+        return np.asarray(depth[0]), np.asarray(T[0], np.float64)
+
+    @staticmethod
+    def to_device(image) -> jnp.ndarray:
+        """[H, W, 3] image -> [1, H, W, 3] fp32 device array (idempotent)."""
+        if isinstance(image, jnp.ndarray) and image.ndim == 4:
+            return image
+        return jnp.asarray(image, jnp.float32)[None]
 
 
 class MonoVO:
@@ -99,27 +123,46 @@ class MonoVO:
         self.intrinsic = np.asarray(intrinsic)
         self.mp = Map(num_kf=num_kf, max_points=max_points)
         self.nn = networks or Networks(image_shape=image_shape)
+        # Cumulative per-stage wall time (seconds) for `bench.py --slam`.
+        self.timings = {"networks": 0.0, "frontend": 0.0, "backend_ba": 0.0}
+        self.n_keyframes = 0
+        self._prev_dev = None  # previous frame, already on device
 
     def process_frame(self, frame: np.ndarray, optimize: bool = True):
         """Run one RGB frame ([H, W, 3] float [0,1]) through the pipeline."""
-        depth = self.nn.depth(frame)
-        uncertainty = np.zeros_like(depth)
+        import time as _time
 
+        t0 = _time.perf_counter()
+        # Upload once; reused as next frame's "prev" and by the BA backend.
+        cur_dev = self.nn.to_device(frame)
         if len(self.mp.frames) == 0:
+            depth = self.nn.depth(frame)
             pose_global = np.eye(4)
-            a, b = 1.0, 0.0
         else:
-            rel = self.nn.pose(self.mp.frames[-1].image, frame)
+            # Fused depth+pose: one device dispatch per frame.
+            depth, rel = self.nn.step(self._prev_dev, cur_dev)
             # Frame pose is GLOBAL T_cw: compose the relative net pose onto
             # the previous frame's global pose.
             pose_global = rel @ self.mp.frames[-1].pose
-            a, b = 1.0, 0.0
+        self._prev_dev = cur_dev
+        uncertainty = np.zeros_like(depth)
+        a, b = 1.0, 0.0
+        t1 = _time.perf_counter()
+        self.timings["networks"] += t1 - t0
 
-        if not self.frontend(frame, depth, uncertainty, pose_global, (a, b)):
+        is_kf = self.frontend(frame, depth, uncertainty, pose_global, (a, b))
+        # Seed the map's device-image cache with the already-uploaded frame
+        # (valid: a=1, b=0) so windowed BA never re-transfers it.
+        self.mp.register_device_image(self.mp.frames[-1].id, cur_dev[0])
+        t2 = _time.perf_counter()
+        self.timings["frontend"] += t2 - t1
+        if not is_kf:
             return depth, uncertainty, self.mp.frames[-1].pose, a, b
 
+        self.n_keyframes += 1
         if optimize:
             self.mp.optimize(self.intrinsic)
+            self.timings["backend_ba"] += _time.perf_counter() - t2
         return depth, uncertainty, self.mp.frames[-1].pose, a, b
 
     def frontend(self, frame, depth, uncertainty, pose, brightness_params) -> bool:
@@ -132,8 +175,10 @@ class MonoVO:
             return False
 
         prev_f = self.mp.frames[-2]
-        l1, l2 = match_frame_kps(f, prev_f)
-        for idx1, idx2 in zip(l1, l2):
+        # One KNN match per frame, in (prev, cur) order so the keyframe score
+        # can reuse it when the last keyframe is the previous frame.
+        l_prev, l_cur = match_frame_kps(prev_f, f)
+        for idx1, idx2 in zip(l_cur, l_prev):
             if idx1 in f.pts:
                 continue
             if idx2 in prev_f.pts:
@@ -145,7 +190,7 @@ class MonoVO:
                 pt.add_observation(f, idx1)
                 pt.add_observation(prev_f, idx2)
 
-        return self.mp.check_add_key_frame(f)
+        return self.mp.check_add_key_frame(f, match_from_prev=(l_prev, l_cur))
 
     def trajectory(self) -> np.ndarray:
         """Global camera-to-world poses of all frames ([N, 4, 4])."""
