@@ -12,6 +12,12 @@ model, SURVEY.md §2.1):
 
 TPU-native: NHWC; attention uses ``jax.nn.dot_product_attention`` (fused on
 TPU); variable input sizes handled by bilinear pos-embed interpolation.
+
+Checkpoint compatibility (``utils.torch_weights.convert_depth_anything``):
+numerically exact vs the torch reference except for ONE documented
+divergence — DINOv2 resamples position embeddings bicubically (torch
+a=-0.75) while this model resamples bilinearly; at the native 518x518 grid
+there is no resampling and the models agree exactly.
 """
 
 from __future__ import annotations
@@ -22,7 +28,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from deep_visual_slam_tpu.ops.warp import resize_bilinear
+from deep_visual_slam_tpu.ops.warp import (
+    resize_bilinear,
+    resize_bilinear_align_corners,
+)
 
 VIT_CONFIGS = {
     "vits": dict(embed_dim=384, depth=12, num_heads=6,
@@ -90,7 +99,8 @@ class Block(nn.Module):
         hidden = int(self.dim * self.mlp_ratio)
         y = nn.Dense(hidden, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_fc1")(y)
-        y = nn.gelu(y)
+        # exact erf GELU (DINOv2 uses torch nn.GELU, not the tanh approx)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
                      name="mlp_fc2")(y)
         return x + LayerScale(self.dim, name="ls2")(y)
@@ -174,7 +184,9 @@ class FeatureFusionBlock(nn.Module):
         x = ResidualConvUnit(self.features, self.dtype)(x)
         if size is None:
             size = (x.shape[1] * 2, x.shape[2] * 2)
-        x = resize_bilinear(x, *size)
+        # DPT fusion resizes are corner-aligned (reference blocks.py
+        # align_corners=True).
+        x = resize_bilinear_align_corners(x, *size)
         return nn.Conv(self.features, (1, 1), dtype=self.dtype,
                        param_dtype=jnp.float32)(x)
 
@@ -194,14 +206,18 @@ class DPTHead(nn.Module):
             x = nn.Conv(self.out_channels[i], (1, 1), dtype=self.dtype,
                         param_dtype=jnp.float32, name=f"project_{i}")(x)
             if i == 0:
+                # transpose_kernel=True = torch ConvTranspose2d semantics
+                # (kernel [kh, kw, out, in], spatially flipped).
                 x = nn.ConvTranspose(
                     self.out_channels[i], (4, 4), strides=(4, 4),
+                    transpose_kernel=True,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="resize_0",
                 )(x)
             elif i == 1:
                 x = nn.ConvTranspose(
                     self.out_channels[i], (2, 2), strides=(2, 2),
+                    transpose_kernel=True,
                     dtype=self.dtype, param_dtype=jnp.float32,
                     name="resize_1",
                 )(x)
@@ -235,7 +251,7 @@ class DPTHead(nn.Module):
 
         out = nn.Conv(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
                       param_dtype=jnp.float32, name="output_conv1")(path)
-        out = resize_bilinear(out, ph * PATCH, pw * PATCH)
+        out = resize_bilinear_align_corners(out, ph * PATCH, pw * PATCH)
         out = nn.relu(
             nn.Conv(32, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=jnp.float32, name="output_conv2_0")(out)

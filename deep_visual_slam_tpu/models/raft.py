@@ -33,7 +33,7 @@ from deep_visual_slam_tpu.ops.pallas.correlation import (
     corr_pyramid_lookup,
     build_corr_pyramid,
 )
-from deep_visual_slam_tpu.ops.warp import resize_bilinear
+from deep_visual_slam_tpu.ops.warp import resize_bilinear_align_corners
 
 
 def _conv(f, k, s=1, name=None, dtype=jnp.float32):
@@ -55,9 +55,12 @@ class _Norm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # epsilon=1e-5 matches torch's InstanceNorm2d/GroupNorm default
+        # (flax's 1e-6 default costs ~5e-4 of checkpoint parity).
         if self.kind == "group":
             return nn.GroupNorm(
-                num_groups=max(self.channels // 8, 1), dtype=self.dtype
+                num_groups=max(self.channels // 8, 1), epsilon=1e-5,
+                dtype=self.dtype,
             )(x)
         if self.kind == "batch":
             return nn.BatchNorm(
@@ -66,7 +69,7 @@ class _Norm(nn.Module):
         if self.kind == "instance":
             return nn.GroupNorm(
                 num_groups=self.channels, use_bias=False, use_scale=False,
-                dtype=self.dtype,
+                epsilon=1e-5, dtype=self.dtype,
             )(x)
         return x  # "none"
 
@@ -319,8 +322,10 @@ def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
+    """x8 bilinear flow upsample, corner-aligned like the reference
+    (``raft.py`` upflow8: interpolate align_corners=True, x8 magnitudes)."""
     B, H, W, _ = flow.shape
-    return 8.0 * resize_bilinear(flow, H * 8, W * 8)
+    return 8.0 * resize_bilinear_align_corners(flow, H * 8, W * 8)
 
 
 class RAFT(nn.Module):

@@ -67,11 +67,17 @@ def build_corr_pyramid(
 
 
 def _window_deltas(radius: int) -> jnp.ndarray:
-    """[(2r+1)^2, 2] (dx, dy) offsets, dy-major like the reference's
-    meshgrid(dy, dx) ordering (``corr.py:37-40``)."""
+    """[(2r+1)^2, 2] (dx, dy) offsets in the REFERENCE's channel order.
+
+    RAFT quirk (``corr.py:37-44``): ``delta = stack(meshgrid(dy, dx), -1)``
+    is added to an (x, y) centroid, so the first window axis offsets x and
+    the second offsets y — flat channel ``i*win + j`` samples offset
+    ``(dx=d_i, dy=d_j)`` (x-major). Matching this exactly makes converted
+    checkpoints' 1x1 motion-encoder weights line up channel-for-channel.
+    """
     r = radius
     d = jnp.arange(-r, r + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    dx, dy = jnp.meshgrid(d, d, indexing="ij")  # dx varies along axis 0
     return jnp.stack([dx.reshape(-1), dy.reshape(-1)], axis=-1)
 
 

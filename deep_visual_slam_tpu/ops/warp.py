@@ -101,6 +101,24 @@ def resize_bilinear(image: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
     )
 
 
+def resize_bilinear_align_corners(
+    image: jnp.ndarray, height: int, width: int
+) -> jnp.ndarray:
+    """Bilinear resize with corner-aligned sampling — exactly torch
+    ``F.interpolate(mode="bilinear", align_corners=True)`` (used by RAFT's
+    upflow8 and the DPT fusion/output resizes)."""
+    B, H, W, C = image.shape
+    if H == height and W == width:
+        return image
+    xs = jnp.linspace(-1.0, 1.0, width)
+    ys = jnp.linspace(-1.0, 1.0, height)
+    gx, gy = jnp.meshgrid(xs, ys, indexing="xy")
+    grid = jnp.broadcast_to(
+        jnp.stack([gx, gy], axis=-1), (B, height, width, 2)
+    )
+    return grid_sample(image, grid, align_corners=True, padding_mode="border")
+
+
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x spatial upsample, NHWC.
 

@@ -140,6 +140,23 @@ def load_posenet_variables(path: str, num_layers: int = 18) -> Dict:
     return _load_converted(path, lambda sd: convert_posenet(sd, num_layers))
 
 
+def load_raft_variables(path: str, small: bool = True) -> Dict:
+    """Frozen SmallRAFT flow-backbone weights (reference FlowPoseNet wraps a
+    pretrained SmallRAFT, ``model/posenet_single.py:91-147``)."""
+    from deep_visual_slam_tpu.utils.torch_weights import convert_raft
+
+    return _load_converted(path, lambda sd: convert_raft(sd, small))
+
+
+def load_depth_anything_variables(path: str, encoder: str = "vits") -> Dict:
+    """Published Depth-Anything-V2 checkpoint -> Flax variables."""
+    from deep_visual_slam_tpu.utils.torch_weights import convert_depth_anything
+
+    return _load_converted(
+        path, lambda sd: convert_depth_anything(sd, encoder)
+    )
+
+
 def load_encoder_variables(
     path: str, num_input_images: int = 1, num_layers: int = 18
 ) -> Dict:

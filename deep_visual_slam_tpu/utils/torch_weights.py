@@ -190,6 +190,183 @@ def convert_posenet(state_dict: Mapping, num_layers: int = 18) -> Dict:
     }
 
 
+def _conv_entry(sd: Mapping, prefix: str) -> Dict:
+    """torch Conv2d ``{prefix}.weight/bias`` -> flax Conv params."""
+    out = {"kernel": _k(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def convert_raft(state_dict: Mapping, small: bool = True) -> Dict:
+    """Reference torch SmallRAFT ``state_dict`` -> Flax ``models.RAFT``.
+
+    Covers the Small variant the reference actually uses (the frozen flow
+    backbone of FlowPoseNet, ``model/posenet_single.py:91-147``): encoders
+    ``fnet``/``cnet`` (SmallEncoder: conv1 stem, layer{1-3} of 2 bottleneck
+    blocks, conv2 head — instance/none norms carry no parameters), and
+    ``update_block`` (SmallMotionEncoder convc1/convf1/convf2/conv, ConvGRU
+    convz/convr/convq, FlowHead conv1/conv2). Module paths match
+    ``models/raft.py`` (the scanned update block lives under
+    ``refine/update``).
+    """
+    if not small:
+        raise ValueError(
+            "convert_raft currently supports small=True (the variant the "
+            "reference deploys); the Basic variant's cnet uses BatchNorm "
+            "whose running stats need a batch_stats mapping."
+        )
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    # torch.nn.DataParallel checkpoints prefix with "module."
+    sd = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+    def encoder(prefix: str) -> Dict:
+        enc: Dict = {"Conv_0": _conv_entry(sd, f"{prefix}.conv1")}
+        block_i = 0
+        for layer in (1, 2, 3):
+            for b in (0, 1):
+                t = f"{prefix}.layer{layer}.{b}"
+                blk = {
+                    "Conv_0": _conv_entry(sd, f"{t}.conv1"),
+                    "Conv_1": _conv_entry(sd, f"{t}.conv2"),
+                    "Conv_2": _conv_entry(sd, f"{t}.conv3"),
+                }
+                if f"{t}.downsample.0.weight" in sd:
+                    blk["Conv_3"] = _conv_entry(sd, f"{t}.downsample.0")
+                enc[f"BottleneckBlock_{block_i}"] = blk
+                block_i += 1
+        enc["Conv_1"] = _conv_entry(sd, f"{prefix}.conv2")
+        return enc
+
+    update = {
+        "SmallMotionEncoder_0": {
+            "Conv_0": _conv_entry(sd, "update_block.encoder.convc1"),
+            "Conv_1": _conv_entry(sd, "update_block.encoder.convf1"),
+            "Conv_2": _conv_entry(sd, "update_block.encoder.convf2"),
+            "Conv_3": _conv_entry(sd, "update_block.encoder.conv"),
+        },
+        "ConvGRU_0": {
+            "Conv_0": _conv_entry(sd, "update_block.gru.convz"),
+            "Conv_1": _conv_entry(sd, "update_block.gru.convr"),
+            "Conv_2": _conv_entry(sd, "update_block.gru.convq"),
+        },
+        "FlowHead_0": {
+            "Conv_0": _conv_entry(sd, "update_block.flow_head.conv1"),
+            "Conv_1": _conv_entry(sd, "update_block.flow_head.conv2"),
+        },
+    }
+    return {
+        "params": {
+            "fnet": encoder("fnet"),
+            "cnet": encoder("cnet"),
+            "refine": {"update": update},
+        }
+    }
+
+
+def _dense(sd: Mapping, prefix: str) -> Dict:
+    """torch Linear -> flax Dense (kernel transposed [in, out])."""
+    out = {"kernel": np.asarray(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layernorm(sd: Mapping, prefix: str) -> Dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def convert_depth_anything(state_dict: Mapping, encoder: str = "vits") -> Dict:
+    """Reference Depth-Anything-V2 ``state_dict`` -> Flax
+    ``models.DepthAnythingV2(encoder=...)``.
+
+    Reference naming (``model/depth_anything_v2/dpt.py:152-182`` +
+    ``dinov2.py``): backbone under ``pretrained.*`` (cls_token, pos_embed,
+    patch_embed.proj, blocks.N.{norm1,attn.qkv,attn.proj,ls1,norm2,
+    mlp.fc1,mlp.fc2,ls2}, norm), head under ``depth_head.*`` (projects.N,
+    resize_layers.{0,1,3}, scratch.layerN_rn, scratch.refinenetN
+    .resConfUnit{1,2}.conv{1,2} / .out_conv, scratch.output_conv1,
+    scratch.output_conv2.{0,2}). ``pretrained.mask_token`` is unused at
+    inference and dropped. refinenet4 is called without a skip input, so
+    its (torch-present, never-executed) resConfUnit1 weights are dropped
+    and resConfUnit2 maps to its single ResidualConvUnit.
+    """
+    from deep_visual_slam_tpu.models.depth_anything import VIT_CONFIGS
+
+    cfg = VIT_CONFIGS[encoder]
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def block(i: int) -> Dict:
+        t = f"pretrained.blocks.{i}"
+        return {
+            "norm1": _layernorm(sd, f"{t}.norm1"),
+            "attn": {
+                "qkv": _dense(sd, f"{t}.attn.qkv"),
+                "proj": _dense(sd, f"{t}.attn.proj"),
+            },
+            "ls1": {"gamma": np.asarray(sd[f"{t}.ls1.gamma"])},
+            "norm2": _layernorm(sd, f"{t}.norm2"),
+            "mlp_fc1": _dense(sd, f"{t}.mlp.fc1"),
+            "mlp_fc2": _dense(sd, f"{t}.mlp.fc2"),
+            "ls2": {"gamma": np.asarray(sd[f"{t}.ls2.gamma"])},
+        }
+
+    pretrained: Dict = {
+        "cls_token": np.asarray(sd["pretrained.cls_token"]),
+        "pos_embed": np.asarray(sd["pretrained.pos_embed"]),
+        "patch_embed": _conv_entry(sd, "pretrained.patch_embed.proj"),
+        "norm": _layernorm(sd, "pretrained.norm"),
+    }
+    for i in range(cfg["depth"]):
+        pretrained[f"block_{i}"] = block(i)
+
+    def rcu(prefix: str) -> Dict:
+        return {
+            "Conv_0": _conv_entry(sd, f"{prefix}.conv1"),
+            "Conv_1": _conv_entry(sd, f"{prefix}.conv2"),
+        }
+
+    head: Dict = {}
+    for i in range(4):
+        head[f"project_{i}"] = _conv_entry(sd, f"depth_head.projects.{i}")
+    for i in (0, 1):
+        # ConvTranspose2d [in, out, kh, kw] -> flax transpose_kernel=True
+        # layout [kh, kw, out, in].
+        head[f"resize_{i}"] = {
+            "kernel": np.asarray(
+                sd[f"depth_head.resize_layers.{i}.weight"]
+            ).transpose(2, 3, 1, 0),
+            "bias": np.asarray(sd[f"depth_head.resize_layers.{i}.bias"]),
+        }
+    head["resize_3"] = _conv_entry(sd, "depth_head.resize_layers.3")
+    for i in range(1, 5):
+        head[f"layer{i}_rn"] = _conv_entry(
+            sd, f"depth_head.scratch.layer{i}_rn"
+        )
+    for i in (1, 2, 3):
+        t = f"depth_head.scratch.refinenet{i}"
+        head[f"refinenet{i}"] = {
+            "ResidualConvUnit_0": rcu(f"{t}.resConfUnit1"),
+            "ResidualConvUnit_1": rcu(f"{t}.resConfUnit2"),
+            "Conv_0": _conv_entry(sd, f"{t}.out_conv"),
+        }
+    head["refinenet4"] = {
+        "ResidualConvUnit_0": rcu(
+            "depth_head.scratch.refinenet4.resConfUnit2"
+        ),
+        "Conv_0": _conv_entry(sd, "depth_head.scratch.refinenet4.out_conv"),
+    }
+    head["output_conv1"] = _conv_entry(sd, "depth_head.scratch.output_conv1")
+    head["output_conv2_0"] = _conv_entry(sd, "depth_head.scratch.output_conv2.0")
+    head["output_conv2_2"] = _conv_entry(sd, "depth_head.scratch.output_conv2.2")
+
+    return {"params": {"pretrained": pretrained, "depth_head": head}}
+
+
 def strip_compile_prefix(state_dict: Mapping) -> Dict:
     """Remove torch.compile's ``_orig_mod.`` prefixes from checkpoint keys
     (reference ``vo/train.py:28-36`` / ``vo/utils/utils.py:13-21``), so
