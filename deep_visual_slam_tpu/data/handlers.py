@@ -207,6 +207,91 @@ class StereoSnippetDataset:
         }
 
 
+def build_stereo_dataset(
+    left_paths: Sequence[str],
+    right_paths: Sequence[str],
+    K4: np.ndarray,
+    baseline_m: float,
+    image_size: Tuple[int, int],
+    is_train: bool = True,
+    augment: bool = True,
+) -> StereoSnippetDataset:
+    """Rectified pair -> BOTH directed samples, like the reference's
+    ``_create_stereo_samples`` (``vo/dataset/irs.py:183-208``): (target=left,
+    source=right) and (target=right, source=left).
+
+    Pose convention: the emitted 4x4 maps TARGET-frame points into the
+    SOURCE camera (what the warp needs); with the right camera at
+    +baseline along x of the left, that is t_x = -baseline for the
+    left-target sample. (The reference stores a 6-vector [aa, t]; a 4x4 is
+    the same information in the form the solver consumes.)
+    """
+    n = min(len(left_paths), len(right_paths))
+    if n == 0:
+        raise ValueError("no stereo pairs")
+    lefts, rights = list(left_paths[:n]), list(right_paths[:n])
+    T_rl = np.eye(4, dtype=np.float32)
+    T_rl[0, 3] = -baseline_m  # left-frame point seen from the right camera
+    T_lr = np.eye(4, dtype=np.float32)
+    T_lr[0, 3] = baseline_m
+    return StereoSnippetDataset(
+        source_paths=rights + lefts,
+        target_paths=lefts + rights,
+        intrinsics=[K4] * (2 * n),
+        poses=[T_rl] * n + [T_lr] * n,
+        image_size=image_size,
+        is_train=is_train,
+        augment=augment,
+    )
+
+
+IRS_BASELINE_M = 0.1  # reference vo/dataset/irs.py:168
+
+
+def irs_stereo_dataset(
+    scene_dir: str, image_size: Tuple[int, int], is_train: bool = True
+) -> StereoSnippetDataset:
+    """IRS left/right pairs at the dataset's fixed 10 cm baseline."""
+    lefts = sorted(
+        glob.glob(os.path.join(scene_dir, "l_*.png"))
+        + glob.glob(os.path.join(scene_dir, "left", "*.png"))
+        + glob.glob(os.path.join(scene_dir, "left", "*.jpg"))
+    )
+    rights = sorted(
+        glob.glob(os.path.join(scene_dir, "r_*.png"))
+        + glob.glob(os.path.join(scene_dir, "right", "*.png"))
+        + glob.glob(os.path.join(scene_dir, "right", "*.jpg"))
+    )
+    K4 = rescale_intrinsic_4x4(IRS_K3, image_size, IRS_NATIVE_SIZE)
+    return build_stereo_dataset(
+        lefts, rights, K4, IRS_BASELINE_M, image_size, is_train, is_train
+    )
+
+
+def custom_stereo_dataset(
+    scene_dir: str, image_size: Tuple[int, int], is_train: bool = True
+) -> StereoSnippetDataset:
+    """tspxr_capture rig pairs: ``rgb_left``/``rgb_right`` + calibrated
+    baseline from ``sensor/stereo_parameters.json`` (reference
+    ``vo/dataset/custom_data.py:164-188``)."""
+    lefts = sorted(
+        glob.glob(os.path.join(scene_dir, "rgb_left", "*.jpg"))
+        + glob.glob(os.path.join(scene_dir, "rgb_left", "*.png"))
+    )
+    rights = sorted(
+        glob.glob(os.path.join(scene_dir, "rgb_right", "*.jpg"))
+        + glob.glob(os.path.join(scene_dir, "rgb_right", "*.png"))
+    )
+    with open(os.path.join(scene_dir, "sensor", "stereo_parameters.json")) as f:
+        baseline_m = float(json.load(f)["baseline_m"])
+    K3 = np.load(os.path.join(scene_dir, "sensor", "left_intrinsics.npy"))
+    native = cv2.imread(lefts[0]).shape[:2] if lefts else IRS_NATIVE_SIZE
+    K4 = rescale_intrinsic_4x4(K3, image_size, native)
+    return build_stereo_dataset(
+        lefts, rights, K4, baseline_m, image_size, is_train, is_train
+    )
+
+
 def _scene_dirs(root: str) -> List[str]:
     if not os.path.isdir(root):
         return []

@@ -154,9 +154,12 @@ class VoDataLoader:
     """Config-gated multi-dataset VO loader (reference ``vo/dataset/vo_loader.py``).
 
     Exposes ``train_loader`` / ``valid_loader`` / ``test_loader`` plus the
-    underlying concatenated datasets. Currently wired sources: redwood
-    (``Dataset.redwood.mono``) and synthetic (``Dataset.synthetic.mono``,
-    a TPU-framework addition used for smoke training and benchmarks).
+    underlying concatenated datasets, and — under the ``Dataset.*.stereo``
+    flags — ``train_stereo_loader`` / ``valid_stereo_loader`` over
+    known-baseline pairs (``None`` when no stereo source is enabled). The
+    reference assembles the same stereo loaders
+    (``vo/dataset/vo_loader.py:76-107``) though its train loop never consumes
+    them; here ``training.vo_trainer`` interleaves them into the epoch.
     """
 
     def __init__(self, config: Dict, root_dir: Optional[str] = None):
@@ -169,6 +172,8 @@ class VoDataLoader:
         train_sets: List = []
         valid_sets: List = []
         test_sets: List = []
+        train_stereo_sets: List = []
+        valid_stereo_sets: List = []
 
         if config["Dataset"].get("redwood", {}).get("mono", False):
             from deep_visual_slam_tpu.data.redwood import RedwoodDataHandler
@@ -203,6 +208,25 @@ class VoDataLoader:
                 if scenes:
                     target.append(ConcatDataset(scenes))
 
+        if config["Dataset"].get("custom_data", {}).get("stereo", False):
+            from deep_visual_slam_tpu.data.handlers import (
+                custom_stereo_dataset,
+                _scene_dirs,
+            )
+
+            root = os.path.join(config["Directory"]["data_dir"], "custom_data")
+            for fold, target, is_train in (
+                ("train", train_stereo_sets, True),
+                ("valid", valid_stereo_sets, False),
+            ):
+                for scene in _scene_dirs(os.path.join(root, fold)):
+                    try:
+                        target.append(
+                            custom_stereo_dataset(scene, image_size, is_train)
+                        )
+                    except Exception as e:
+                        print(f"Warning: skipping custom stereo {scene}: {e}")
+
         if config["Dataset"].get("irs", {}).get("mono", False):
             from deep_visual_slam_tpu.data.handlers import IrsDataset, _scene_dirs
 
@@ -219,7 +243,41 @@ class VoDataLoader:
                 if scenes:
                     target.append(ConcatDataset(scenes))
 
+        if config["Dataset"].get("irs", {}).get("stereo", False):
+            from deep_visual_slam_tpu.data.handlers import (
+                irs_stereo_dataset,
+                _scene_dirs,
+            )
+
+            root = os.path.join(config["Directory"]["data_dir"], "irs")
+            for fold, target, is_train in (
+                ("train", train_stereo_sets, True),
+                ("valid", valid_stereo_sets, False),
+            ):
+                for scene in _scene_dirs(os.path.join(root, fold)):
+                    try:
+                        target.append(
+                            irs_stereo_dataset(scene, image_size, is_train)
+                        )
+                    except Exception as e:
+                        print(f"Warning: skipping irs stereo {scene}: {e}")
+
         syn_cfg = config["Dataset"].get("synthetic", {})
+        if syn_cfg.get("stereo", False):
+            from deep_visual_slam_tpu.data.synthetic import SyntheticStereoDataset
+
+            length = syn_cfg.get("length", 256)
+            train_stereo_sets.append(
+                SyntheticStereoDataset(image_size, length=length, seed=self.seed + 3)
+            )
+            valid_stereo_sets.append(
+                SyntheticStereoDataset(
+                    image_size,
+                    length=max(length // 8, self.batch_size),
+                    seed=self.seed + 4,
+                    is_train=False,
+                )
+            )
         if syn_cfg.get("mono", False):
             from deep_visual_slam_tpu.data.synthetic import SyntheticVoDataset
 
@@ -272,4 +330,32 @@ class VoDataLoader:
             drop_last=True,
             num_workers=self.num_workers,
             seed=self.seed,
+        )
+
+        # Stereo stream (known-baseline pairs), when any source enables it.
+        self.train_stereo_dataset = ConcatDataset(train_stereo_sets)
+        self.valid_stereo_dataset = ConcatDataset(valid_stereo_sets)
+        self.train_stereo_loader = (
+            DataLoader(
+                self.train_stereo_dataset,
+                self.batch_size,
+                shuffle=use_shuffle,
+                drop_last=True,
+                num_workers=self.num_workers,
+                seed=self.seed + 10,
+            )
+            if len(self.train_stereo_dataset)
+            else None
+        )
+        self.valid_stereo_loader = (
+            DataLoader(
+                self.valid_stereo_dataset,
+                self.batch_size,
+                shuffle=False,
+                drop_last=True,
+                num_workers=self.num_workers,
+                seed=self.seed + 10,
+            )
+            if len(self.valid_stereo_dataset)
+            else None
         )

@@ -119,6 +119,62 @@ def synthetic_vo_batch(
     return batch, truth
 
 
+class SyntheticStereoDataset:
+    """Rendered stereo pairs with exactly-known baseline pose.
+
+    Emits ``{source_image, target_image, intrinsic, pose}`` in the
+    ``StereoSnippetDataset`` schema; ``pose`` maps TARGET-frame points into
+    the SOURCE camera (the warp convention of
+    ``vo_learner.process_stereo_batch``), so the photometric optimum is at
+    the true depth.
+    """
+
+    def __init__(
+        self,
+        image_size: Tuple[int, int],
+        length: int = 64,
+        baseline: float = 0.1,
+        seed: int = 0,
+        is_train: bool = True,
+    ):
+        self.image_size = image_size
+        self.length = length
+        self.baseline = baseline
+        self.seed = seed
+        self.is_train = is_train
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, idx: int, rng=None) -> Dict:
+        H, W = self.image_size
+        rng = np.random.default_rng((self.seed, idx))
+        target = smooth_texture(rng, 1, H, W)
+        depth = plane_depth(1, H, W, z0=float(rng.uniform(1.5, 3.0)))
+        K = jnp.asarray(default_intrinsics(H, W))[None]
+        inv_K = jnp.linalg.inv(K)
+
+        # Rectified pair: source camera at +baseline along x in the target
+        # frame => target-frame points land at x - b in source coords.
+        T = np.eye(4, dtype=np.float32)
+        T[0, 3] = -self.baseline
+        pts = backproject(jnp.asarray(depth), inv_K)
+        grid = project(pts, K, invert_se3(jnp.asarray(T)[None]))
+        source = grid_sample(
+            jnp.asarray(target), grid, align_corners=True,
+            padding_mode="border",
+        )
+        return {
+            "source_image": np.asarray(source[0], np.float32),
+            "target_image": target[0].astype(np.float32),
+            "intrinsic": np.asarray(K[0], np.float32),
+            "pose": T,
+            # ground-truth plane depth (extra key; the stereo step ignores
+            # it, tests/eval use it)
+            "depth": depth[0].astype(np.float32),
+        }
+
+
 def synthetic_slam_sequence(
     n_frames: int,
     height: int,

@@ -147,6 +147,11 @@ class RedwoodEvaluator:
 
         traj_pred = accumulate_trajectory(rel_pred, poses_gt[0])
         _, aligned, ate_stats = ate_rmse(traj_pred, poses_gt, align=True)
+        # Side-by-side bug-compat number: the reference's unnormalized
+        # Umeyama scale (vo/eval_redwood.py:124-126).
+        ref_ate, _, _ = ate_rmse(
+            traj_pred, poses_gt, align=True, reference_scale_bug=True
+        )
         rpe_stats = {
             k: v for k, v in rpe(traj_pred, poses_gt).items()
             if not isinstance(v, np.ndarray)
@@ -158,6 +163,7 @@ class RedwoodEvaluator:
             "num_pairs": len(rows),
             "scale_factor": scale,
             **ate_stats,
+            "ate_rmse_reference_umeyama": ref_ate,
             **rpe_stats,
             "kitti_t_rel_pct": t_rel * 100.0,
             "kitti_r_rel_deg_per_100m": np.degrees(r_rel) * 100.0,

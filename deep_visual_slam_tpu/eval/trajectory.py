@@ -46,12 +46,19 @@ def relative_pose(T1: np.ndarray, T2: np.ndarray) -> np.ndarray:
 
 
 def umeyama_alignment(
-    poses_pred: np.ndarray, poses_gt: np.ndarray
+    poses_pred: np.ndarray,
+    poses_gt: np.ndarray,
+    reference_scale_bug: bool = False,
 ) -> Tuple[np.ndarray, float, np.ndarray, np.ndarray]:
     """7-DoF similarity alignment of pred onto gt.
 
     Returns (poses_aligned, scale, R, t) with
     ``p_aligned = s * R @ p_pred + t`` (reference ``vo/eval_redwood.py:76-149``).
+
+    ``reference_scale_bug=True`` reproduces the reference's unnormalized
+    scale ``sum(S)/var_pred`` (``vo/eval_redwood.py:124-126``), which is off
+    by a factor of N — use only to report side-by-side numbers against the
+    reference stack.
     """
     p = positions(poses_pred).astype(np.float64)
     g = positions(poses_gt).astype(np.float64)
@@ -74,7 +81,7 @@ def umeyama_alignment(
     # off by a factor of N — a bug (alignment scale explodes with trajectory
     # length). We use the correct Umeyama scale: sum(S) / (N * var_pred).
     var_p = np.mean(np.sum(pc**2, axis=1))
-    n = p.shape[0]
+    n = 1 if reference_scale_bug else p.shape[0]
     scale = float(np.sum(S) / (n * var_p)) if var_p > 1e-8 else 1.0
     t = mu_g - scale * R @ mu_p
 
@@ -122,13 +129,22 @@ def pose_error(
     return pos_error_, rot_error, pos_diff, euler_diff
 
 
-def ate_rmse(poses_pred: np.ndarray, poses_gt: np.ndarray, align: bool = True):
+def ate_rmse(
+    poses_pred: np.ndarray,
+    poses_gt: np.ndarray,
+    align: bool = True,
+    reference_scale_bug: bool = False,
+):
     """Absolute trajectory error RMSE (after optional Umeyama alignment).
 
-    Returns (rmse, aligned_pred, stats dict).
+    Returns (rmse, aligned_pred, stats dict). ``reference_scale_bug``
+    selects the reference's unnormalized alignment scale (see
+    :func:`umeyama_alignment`) for side-by-side reporting.
     """
     if align:
-        aligned, scale, _, _ = umeyama_alignment(poses_pred, poses_gt)
+        aligned, scale, _, _ = umeyama_alignment(
+            poses_pred, poses_gt, reference_scale_bug=reference_scale_bug
+        )
     else:
         aligned, scale = np.asarray(poses_pred, np.float64), 1.0
     err = np.linalg.norm(positions(aligned) - positions(poses_gt), axis=1)

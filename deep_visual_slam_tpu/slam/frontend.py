@@ -138,6 +138,7 @@ class Frame:
         uncertainty: np.ndarray,
         pose: np.ndarray,
         brightness_params: Tuple[float, float] = (1.0, 0.0),
+        features: Optional[Tuple[np.ndarray, Optional[np.ndarray]]] = None,
     ):
         self.id = map_.add_frame(self)
         self.image = np.asarray(image)
@@ -149,7 +150,9 @@ class Frame:
         self.a, self.b = brightness_params
         self.marginalize = False
 
-        self.kps, self.des = extract_features(self.image)
+        # ``features`` lets the caller run ORB while the accelerator is
+        # busy (MonoVO overlaps extraction with the async network dispatch).
+        self.kps, self.des = features or extract_features(self.image)
         self.pts: Dict[int, Point] = {}
 
         H, W = self.image.shape[:2]

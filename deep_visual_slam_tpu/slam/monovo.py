@@ -101,6 +101,12 @@ class Networks:
         )
         return np.asarray(depth[0]), np.asarray(T[0], np.float64)
 
+    def step_async(self, prev_image, image):
+        """Dispatch the fused step WITHOUT synchronizing — returns device
+        arrays. The caller overlaps host work (ORB, matching) with the
+        accelerator and materializes the results afterwards."""
+        return self._step_fn(self.to_device(prev_image), self.to_device(image))
+
     @staticmethod
     def to_device(image) -> jnp.ndarray:
         """[H, W, 3] image -> [1, H, W, 3] fp32 device array (idempotent)."""
@@ -129,28 +135,55 @@ class MonoVO:
         self._prev_dev = None  # previous frame, already on device
 
     def process_frame(self, frame: np.ndarray, optimize: bool = True):
-        """Run one RGB frame ([H, W, 3] float [0,1]) through the pipeline."""
+        """Run one RGB frame ([H, W, 3] float [0,1]) through the pipeline.
+
+        The host frontend (ORB + KNN matching, the classical CPU cost of a
+        SLAM loop) runs WHILE the accelerator computes depth+pose: the fused
+        network step is dispatched asynchronously, features are extracted and
+        matched against the previous frame, and only then are the device
+        results materialized.
+        """
         import time as _time
+
+        from deep_visual_slam_tpu.slam.frontend import (
+            extract_features,
+            match_descriptors,
+        )
 
         t0 = _time.perf_counter()
         # Upload once; reused as next frame's "prev" and by the BA backend.
         cur_dev = self.nn.to_device(frame)
-        if len(self.mp.frames) == 0:
+        first = len(self.mp.frames) == 0
+        if not first:
+            pending = self.nn.step_async(self._prev_dev, cur_dev)  # async
+        self._prev_dev = cur_dev
+
+        # Host work overlapped with the device step.
+        feats = extract_features(np.asarray(frame))
+        if first:
+            match = None
+        else:
+            prev_f = self.mp.frames[-1]
+            match = match_descriptors(prev_f.des, feats[1])
+
+        if first:
             depth = self.nn.depth(frame)
             pose_global = np.eye(4)
         else:
-            # Fused depth+pose: one device dispatch per frame.
-            depth, rel = self.nn.step(self._prev_dev, cur_dev)
+            depth = np.asarray(pending[0][0])  # sync point
+            rel = np.asarray(pending[1][0], np.float64)
             # Frame pose is GLOBAL T_cw: compose the relative net pose onto
             # the previous frame's global pose.
             pose_global = rel @ self.mp.frames[-1].pose
-        self._prev_dev = cur_dev
         uncertainty = np.zeros_like(depth)
         a, b = 1.0, 0.0
         t1 = _time.perf_counter()
         self.timings["networks"] += t1 - t0
 
-        is_kf = self.frontend(frame, depth, uncertainty, pose_global, (a, b))
+        is_kf = self.frontend(
+            frame, depth, uncertainty, pose_global, (a, b),
+            features=feats, match_from_prev=match,
+        )
         # Seed the map's device-image cache with the already-uploaded frame
         # (valid: a=1, b=0) so windowed BA never re-transfers it.
         self.mp.register_device_image(self.mp.frames[-1].id, cur_dev[0])
@@ -165,10 +198,23 @@ class MonoVO:
             self.timings["backend_ba"] += _time.perf_counter() - t2
         return depth, uncertainty, self.mp.frames[-1].pose, a, b
 
-    def frontend(self, frame, depth, uncertainty, pose, brightness_params) -> bool:
+    def frontend(
+        self,
+        frame,
+        depth,
+        uncertainty,
+        pose,
+        brightness_params,
+        features=None,
+        match_from_prev=None,
+    ) -> bool:
         """Track keypoints vs the previous frame; returns True when a new
-        keyframe was added (=> run backend)."""
-        f = Frame(self.mp, frame, depth, uncertainty, pose, brightness_params)
+        keyframe was added (=> run backend). ``features`` / ``match_from_prev``
+        carry work already done while the accelerator was busy."""
+        f = Frame(
+            self.mp, frame, depth, uncertainty, pose, brightness_params,
+            features=features,
+        )
 
         if f.id == 0:
             self.mp.check_add_key_frame(f)
@@ -177,7 +223,10 @@ class MonoVO:
         prev_f = self.mp.frames[-2]
         # One KNN match per frame, in (prev, cur) order so the keyframe score
         # can reuse it when the last keyframe is the previous frame.
-        l_prev, l_cur = match_frame_kps(prev_f, f)
+        if match_from_prev is not None:
+            l_prev, l_cur = match_from_prev
+        else:
+            l_prev, l_cur = match_frame_kps(prev_f, f)
         for idx1, idx2 in zip(l_cur, l_prev):
             if idx1 in f.pts:
                 continue

@@ -128,6 +128,46 @@ def make_vo_eval_step(
     )
 
 
+def make_stereo_train_step(
+    depth_model, cfg: vo_learner.VOLossConfig, mesh: Optional[Mesh] = None
+):
+    """Stereo-pair train step: depth-only photometric loss at the known
+    baseline pose (``vo_learner.process_stereo_batch``). Operates on the
+    same joint (depth+pose) TrainState as the mono step — PoseNet gradients
+    are identically zero, so plain-Adam moments stay untouched and the two
+    steps interleave freely within an epoch.
+    """
+
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            mut = {}
+
+            def depth_apply(_, x, train):
+                out, upd = depth_model.apply(
+                    {"params": params["depth"], "batch_stats": state.batch_stats["depth"]},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                mut["depth"] = upd["batch_stats"]
+                return out
+
+            _, losses = vo_learner.process_stereo_batch(
+                depth_apply, None, batch, cfg, rng, train=True
+            )
+            return losses["loss"], (losses, mut)
+
+        (_, (losses, new_depth_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_stats = dict(state.batch_stats)
+        new_stats["depth"] = new_depth_stats["depth"]
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        return new_state, losses
+
+    return _jit_step(train_step, mesh)
+
+
 def make_depth_train_step(
     depth_model, cfg: depth_learner.DepthLossConfig, mesh: Optional[Mesh] = None
 ):

@@ -195,6 +195,71 @@ def compute_losses(
     return losses
 
 
+def process_stereo_batch(
+    depth_apply,
+    depth_vars,
+    batch: Dict[str, jnp.ndarray],
+    cfg: VOLossConfig,
+    rng: jax.Array,
+    train: bool = False,
+) -> Tuple[Dict[Any, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Stereo-pair depth supervision at a KNOWN baseline pose.
+
+    The reference assembles stereo loaders (``vo/dataset/vo_loader.py:76-107``)
+    but its training loop never consumes them (only counts them,
+    ``vo/train.py:222``); here the stereo stream actually trains: the target
+    view is reconstructed from the source via the calibrated pose — no
+    PoseNet — which anchors metric depth scale monodepth2-style.
+
+    Batch keys (``data/handlers.py StereoSnippetDataset``): ``source_image``,
+    ``target_image``, ``intrinsic`` [B,4,4], ``pose`` [B,4,4] = the transform
+    mapping TARGET-frame points into the SOURCE camera (same convention as
+    the mono ``("cam_T_cam", 0, f)`` outputs).
+    """
+    target = batch["target_image"]
+    source = batch["source_image"]
+    B, H, W, _ = target.shape
+    K = batch["intrinsic"]
+    inv_K = jnp.linalg.inv(K)
+    T = batch["pose"]
+
+    outputs = dict(depth_apply(depth_vars, target, train))
+    losses: Dict[str, jnp.ndarray] = {}
+    total_loss = 0.0
+
+    identity = reprojection_loss(source, target, cfg.ssim_ratio)  # [B,H,W,1]
+
+    for scale in range(cfg.num_scales):
+        disp_up = resize_bilinear(outputs[("disp", scale)], H, W)
+        outputs[("disp_up", scale)] = disp_up
+        _, depth = disp_to_depth(disp_up, cfg.min_depth, cfg.max_depth)
+        outputs[("depth", scale)] = depth
+
+        cam_points = backproject(depth, inv_K)
+        grid = project(cam_points, K, T)
+        color = grid_sample(source, grid, align_corners=True,
+                            padding_mode="border")
+        outputs[("color", "s", scale)] = color
+        reproj = reprojection_loss(color, target, cfg.ssim_ratio)
+
+        if cfg.auto_mask:
+            rng, sub = jax.random.split(rng)
+            noise = jax.random.normal(sub, identity.shape) * 1e-5
+            combined = jnp.concatenate([identity + noise, reproj], axis=-1)
+            to_optimise = jnp.min(combined, axis=-1, keepdims=True)
+        else:
+            to_optimise = reproj
+
+        loss = jnp.mean(to_optimise)
+        smooth = normalized_smooth_loss(disp_up, target)
+        loss = loss + cfg.smoothness_ratio * smooth / (2**scale)
+        total_loss = total_loss + loss
+        losses[f"stereo_loss/{scale}"] = loss
+
+    losses["loss"] = total_loss / cfg.num_scales
+    return outputs, losses
+
+
 def process_batch(
     depth_apply,
     pose_apply,

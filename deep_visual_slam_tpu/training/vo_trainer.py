@@ -39,6 +39,7 @@ from deep_visual_slam_tpu.training.state import (
     make_optimizer,
 )
 from deep_visual_slam_tpu.training.steps import (
+    make_stereo_train_step,
     make_vo_eval_step,
     make_vo_train_step,
 )
@@ -127,6 +128,13 @@ class Trainer:
         self.eval_step = make_vo_eval_step(
             self.depth_model, self.pose_model, self.loss_cfg, mesh=self.mesh
         )
+        # Known-baseline stereo stream (Dataset.*.stereo flags): depth-only
+        # photometric supervision interleaved with the mono snippets.
+        self.stereo_step = (
+            make_stereo_train_step(self.depth_model, self.loss_cfg, mesh=self.mesh)
+            if self.data_loader.train_stereo_loader is not None
+            else None
+        )
 
         # Logging / checkpointing
         exp = experiment_name(config)
@@ -154,6 +162,14 @@ class Trainer:
         # Train.profile_dir to capture an xplane trace of steps 2-6 of the
         # first epoch, viewable in TensorBoard's profiler plugin.
         profile_dir = self.config["Train"].get("profile_dir")
+        stereo_iter = None
+        if self.stereo_step is not None:
+            self.data_loader.train_stereo_loader.set_epoch(epoch)
+            stereo_iter = iter(
+                device_prefetch(
+                    self.data_loader.train_stereo_loader, sharding=sharding
+                )
+            )
         for batch in device_prefetch(
             self.data_loader.train_loader, sharding=sharding
         ):
@@ -161,6 +177,17 @@ class Trainer:
                 jax.profiler.start_trace(profile_dir)
             self.rng, sub = jax.random.split(self.rng)
             self.state, losses = self.train_step(self.state, batch, sub)
+            if stereo_iter is not None:
+                stereo_batch = next(stereo_iter, None)
+                if stereo_batch is None:
+                    stereo_iter = None
+                else:
+                    self.rng, sub = jax.random.split(self.rng)
+                    self.state, stereo_losses = self.stereo_step(
+                        self.state, stereo_batch, sub
+                    )
+                    losses = dict(losses)
+                    losses["stereo_loss"] = stereo_losses["loss"]
             if profile_dir and epoch == self.start_epoch and count == 6:
                 jax.tree_util.tree_map(
                     lambda x: x.block_until_ready(), losses
@@ -169,10 +196,14 @@ class Trainer:
                 profile_dir = None
             self.timer.tick()
             count += 1
+            # Accumulate EVERY step on-device (no sync; the adds are lazy
+            # scalars), so the printed epoch mean covers all steps — the
+            # reference's every-N sampling under-counts (vo/train.py:268).
+            for k, v in losses.items():
+                running[k] = running.get(k, 0.0) + v
+                running[f"__n_{k}"] = running.get(f"__n_{k}", 0) + 1
             if count % 10 == 0 or count == 1:
                 host_losses = jax.device_get(losses)
-                for k, v in host_losses.items():
-                    running[k] = running.get(k, 0.0) + float(v)
                 step = int(jax.device_get(self.state.step))
                 self.writer.scalars(
                     {k: float(v) for k, v in host_losses.items()},
@@ -185,8 +216,11 @@ class Trainer:
                     step,
                 )
         self.writer.flush()
-        n = max(count // 10, 1)
-        return {k: v / n for k, v in running.items()}
+        sums = jax.device_get({k: v for k, v in running.items()
+                               if not k.startswith("__n_")})
+        return {
+            k: float(v) / max(running[f"__n_{k}"], 1) for k, v in sums.items()
+        }
 
     def validate(self, epoch: int) -> Dict[str, float]:
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None

@@ -199,23 +199,18 @@ def _conv_entry(sd: Mapping, prefix: str) -> Dict:
 
 
 def convert_raft(state_dict: Mapping, small: bool = True) -> Dict:
-    """Reference torch SmallRAFT ``state_dict`` -> Flax ``models.RAFT``.
+    """Reference torch RAFT ``state_dict`` -> Flax ``models.RAFT`` variables.
 
-    Covers the Small variant the reference actually uses (the frozen flow
+    ``small=True`` is the variant the reference deploys (the frozen flow
     backbone of FlowPoseNet, ``model/posenet_single.py:91-147``): encoders
-    ``fnet``/``cnet`` (SmallEncoder: conv1 stem, layer{1-3} of 2 bottleneck
-    blocks, conv2 head — instance/none norms carry no parameters), and
-    ``update_block`` (SmallMotionEncoder convc1/convf1/convf2/conv, ConvGRU
-    convz/convr/convq, FlowHead conv1/conv2). Module paths match
-    ``models/raft.py`` (the scanned update block lives under
-    ``refine/update``).
+    ``fnet``/``cnet`` (SmallEncoder — instance/none norms carry no
+    parameters) and ``update_block`` (SmallMotionEncoder, ConvGRU, FlowHead).
+    ``small=False`` maps the Basic variant: ResidualBlock encoders (the
+    batch-normed cnet contributes a ``batch_stats`` collection), the
+    BasicMotionEncoder/SepConvGRU/FlowHead update block and the
+    convex-upsampling mask head. Module paths match ``models/raft.py``
+    (the scanned update block lives under ``refine/update``).
     """
-    if not small:
-        raise ValueError(
-            "convert_raft currently supports small=True (the variant the "
-            "reference deploys); the Basic variant's cnet uses BatchNorm "
-            "whose running stats need a batch_stats mapping."
-        )
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     # torch.nn.DataParallel checkpoints prefix with "module."
     sd = {
@@ -223,48 +218,104 @@ def convert_raft(state_dict: Mapping, small: bool = True) -> Dict:
         for k, v in sd.items()
     }
 
-    def encoder(prefix: str) -> Dict:
+    stats: Dict = {}
+
+    def encoder(prefix: str, batched: bool) -> Dict:
+        """SmallEncoder (bottleneck) / BasicEncoder (residual) mapping.
+
+        ``batched``: the Basic cnet uses BatchNorm (norm1/2/3 per block +
+        the stem norm1); instance/none norms have no parameters.
+        """
         enc: Dict = {"Conv_0": _conv_entry(sd, f"{prefix}.conv1")}
+        enc_stats: Dict = {}
+        if batched:
+            p, s = _bn(sd, f"{prefix}.norm1")
+            enc["_Norm_0"] = {"BatchNorm_0": p}
+            enc_stats["_Norm_0"] = {"BatchNorm_0": s}
+        block_name = "BottleneckBlock" if small else "ResidualBlock"
+        n_convs = 3 if small else 2
         block_i = 0
         for layer in (1, 2, 3):
             for b in (0, 1):
                 t = f"{prefix}.layer{layer}.{b}"
-                blk = {
-                    "Conv_0": _conv_entry(sd, f"{t}.conv1"),
-                    "Conv_1": _conv_entry(sd, f"{t}.conv2"),
-                    "Conv_2": _conv_entry(sd, f"{t}.conv3"),
-                }
+                blk: Dict = {}
+                blk_stats: Dict = {}
+                for ci in range(n_convs):
+                    blk[f"Conv_{ci}"] = _conv_entry(sd, f"{t}.conv{ci + 1}")
+                    if batched:
+                        p, s = _bn(sd, f"{t}.norm{ci + 1}")
+                        blk[f"_Norm_{ci}"] = {"BatchNorm_0": p}
+                        blk_stats[f"_Norm_{ci}"] = {"BatchNorm_0": s}
                 if f"{t}.downsample.0.weight" in sd:
-                    blk["Conv_3"] = _conv_entry(sd, f"{t}.downsample.0")
-                enc[f"BottleneckBlock_{block_i}"] = blk
+                    blk[f"Conv_{n_convs}"] = _conv_entry(sd, f"{t}.downsample.0")
+                    if batched:
+                        p, s = _bn(sd, f"{t}.norm{n_convs + 1}")
+                        blk[f"_Norm_{n_convs}"] = {"BatchNorm_0": p}
+                        blk_stats[f"_Norm_{n_convs}"] = {"BatchNorm_0": s}
+                enc[f"{block_name}_{block_i}"] = blk
+                if blk_stats:
+                    enc_stats[f"{block_name}_{block_i}"] = blk_stats
                 block_i += 1
         enc["Conv_1"] = _conv_entry(sd, f"{prefix}.conv2")
+        if enc_stats:
+            stats[prefix] = enc_stats
         return enc
 
-    update = {
-        "SmallMotionEncoder_0": {
-            "Conv_0": _conv_entry(sd, "update_block.encoder.convc1"),
-            "Conv_1": _conv_entry(sd, "update_block.encoder.convf1"),
-            "Conv_2": _conv_entry(sd, "update_block.encoder.convf2"),
-            "Conv_3": _conv_entry(sd, "update_block.encoder.conv"),
-        },
-        "ConvGRU_0": {
-            "Conv_0": _conv_entry(sd, "update_block.gru.convz"),
-            "Conv_1": _conv_entry(sd, "update_block.gru.convr"),
-            "Conv_2": _conv_entry(sd, "update_block.gru.convq"),
-        },
-        "FlowHead_0": {
-            "Conv_0": _conv_entry(sd, "update_block.flow_head.conv1"),
-            "Conv_1": _conv_entry(sd, "update_block.flow_head.conv2"),
-        },
-    }
-    return {
+    if small:
+        update = {
+            "SmallMotionEncoder_0": {
+                "Conv_0": _conv_entry(sd, "update_block.encoder.convc1"),
+                "Conv_1": _conv_entry(sd, "update_block.encoder.convf1"),
+                "Conv_2": _conv_entry(sd, "update_block.encoder.convf2"),
+                "Conv_3": _conv_entry(sd, "update_block.encoder.conv"),
+            },
+            "ConvGRU_0": {
+                "Conv_0": _conv_entry(sd, "update_block.gru.convz"),
+                "Conv_1": _conv_entry(sd, "update_block.gru.convr"),
+                "Conv_2": _conv_entry(sd, "update_block.gru.convq"),
+            },
+            "FlowHead_0": {
+                "Conv_0": _conv_entry(sd, "update_block.flow_head.conv1"),
+                "Conv_1": _conv_entry(sd, "update_block.flow_head.conv2"),
+            },
+        }
+    else:
+        update = {
+            "BasicMotionEncoder_0": {
+                "Conv_0": _conv_entry(sd, "update_block.encoder.convc1"),
+                "Conv_1": _conv_entry(sd, "update_block.encoder.convc2"),
+                "Conv_2": _conv_entry(sd, "update_block.encoder.convf1"),
+                "Conv_3": _conv_entry(sd, "update_block.encoder.convf2"),
+                "Conv_4": _conv_entry(sd, "update_block.encoder.conv"),
+            },
+            "SepConvGRU_0": {
+                # torch: convz1/r1/q1 = (1,5) horizontal, convz2/r2/q2 = (5,1)
+                "convz_h": _conv_entry(sd, "update_block.gru.convz1"),
+                "convr_h": _conv_entry(sd, "update_block.gru.convr1"),
+                "convq_h": _conv_entry(sd, "update_block.gru.convq1"),
+                "convz_v": _conv_entry(sd, "update_block.gru.convz2"),
+                "convr_v": _conv_entry(sd, "update_block.gru.convr2"),
+                "convq_v": _conv_entry(sd, "update_block.gru.convq2"),
+            },
+            "FlowHead_0": {
+                "Conv_0": _conv_entry(sd, "update_block.flow_head.conv1"),
+                "Conv_1": _conv_entry(sd, "update_block.flow_head.conv2"),
+            },
+            # convex-upsampling mask head (update_block.mask.{0,2})
+            "Conv_0": _conv_entry(sd, "update_block.mask.0"),
+            "Conv_1": _conv_entry(sd, "update_block.mask.2"),
+        }
+
+    out: Dict = {
         "params": {
-            "fnet": encoder("fnet"),
-            "cnet": encoder("cnet"),
+            "fnet": encoder("fnet", batched=False),
+            "cnet": encoder("cnet", batched=not small),
             "refine": {"update": update},
         }
     }
+    if stats:
+        out["batch_stats"] = stats
+    return out
 
 
 def _dense(sd: Mapping, prefix: str) -> Dict:

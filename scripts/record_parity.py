@@ -1,0 +1,267 @@
+"""Produce and record the first parity numbers (BASELINE.md milestone).
+
+No real Redwood/NYU data ships in this environment (zero egress), so the
+harness runs end-to-end on full-size SYNTHETIC fixture scenes rendered by
+the framework's own generators — the same eval formulas as the reference
+(``vo/eval_redwood.py``, ``depth/util/metrics.py``), with provenance
+recorded next to every number. When real data is mounted, point
+``--redwood_root``/``--nyu_root`` at it and the same script records true
+parity numbers.
+
+Stages (all by default):
+  data        render 5 Redwood-format test scenes (640x480, named like the
+              reference's apartment..loft) + an NYU-format depth tree
+  train_vo    short self-supervised VO training run on synthetic snippets
+  train_depth short supervised depth run on the NYU-format fixture
+  eval        RedwoodEvaluator (ATE/RPE/KITTI, both Umeyama variants) +
+              streaming depth metrics; writes results/parity_results.json
+
+Run on the TPU host:  python scripts/record_parity.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SCENES = ["apartment", "bedroom", "boardroom", "lobby", "loft"]
+H, W = 480, 640
+N_FRAMES = 50
+
+
+def make_redwood_fixture(root: str) -> None:
+    import cv2
+
+    from deep_visual_slam_tpu.data.synthetic import synthetic_slam_sequence
+
+    os.makedirs(root, exist_ok=True)
+    np.save(
+        os.path.join(root, "intrinsic.npy"),
+        np.array([[525.0, 0, 319.5], [0, 525.0, 239.5], [0, 0, 1]]),
+    )
+    for si, scene in enumerate(SCENES):
+        sdir = os.path.join(root, "test", scene)
+        img_dir = os.path.join(sdir, "image")
+        if os.path.exists(os.path.join(sdir, f"{scene}.json")):
+            continue
+        os.makedirs(img_dir, exist_ok=True)
+        frames, _, poses_cw = synthetic_slam_sequence(
+            N_FRAMES, H, W, seed=100 + si,
+            step_translation=0.02, step_rotation=0.004,
+        )
+        nodes = []
+        for i in range(N_FRAMES):
+            bgr = cv2.cvtColor(
+                (frames[i] * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+            )
+            cv2.imwrite(os.path.join(img_dir, f"{i:06d}.jpg"), bgr)
+            T_wc = np.linalg.inv(poses_cw[i])  # PoseGraph stores cam-to-world
+            nodes.append({"pose": T_wc.flatten(order="F").tolist()})
+        with open(os.path.join(sdir, f"{scene}.json"), "w") as f:
+            json.dump({"nodes": nodes}, f)
+        print(f"rendered {scene}: {N_FRAMES} frames")
+
+
+def make_nyu_fixture(root: str, n_train: int = 200, n_test: int = 64) -> None:
+    import cv2
+
+    from deep_visual_slam_tpu.data.synthetic import (
+        plane_depth,
+        smooth_texture,
+    )
+
+    for split, n in (("train", n_train), ("test", n_test)):
+        d = os.path.join(root, "nyu_depth_v2", split)
+        if os.path.isdir(d) and len(os.listdir(d)) >= 2 * n:
+            continue
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(0 if split == "train" else 1)
+        for i in range(n):
+            img = (smooth_texture(rng, 1, H, W)[0] * 255).astype(np.uint8)
+            z0 = float(rng.uniform(1.5, 4.0))
+            slope = float(rng.uniform(-0.8, 0.8))
+            depth_m = plane_depth(1, H, W, z0=z0, slope=slope)[0]
+            # Depth correlates with brightness so the net has signal.
+            shade = (0.5 + 0.5 * (depth_m - depth_m.min())
+                     / max(float(np.ptp(depth_m)), 1e-6))
+            img = (img * shade[..., None]).astype(np.uint8)
+            cv2.imwrite(os.path.join(d, f"rgb_{i:05d}.jpg"),
+                        cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(os.path.join(d, f"depth_{i:05d}.png"),
+                        (depth_m * 1000).astype(np.uint16))
+        print(f"nyu fixture {split}: {n} samples")
+
+
+def vo_config(out_root: str):
+    from deep_visual_slam_tpu.utils.config import load_config
+
+    return load_config(overrides={
+        "Directory": {
+            "exp_name": "parity-vo",
+            "data_dir": os.path.join(out_root, "data") + "/",
+            "log_dir": os.path.join(out_root, "tb"),
+            "weights": os.path.join(out_root, "weights"),
+            "results": os.path.join(out_root, "results"),
+        },
+        "Dataset": {
+            "redwood": {"mono": False},
+            "synthetic": {"mono": True, "length": 1024},
+        },
+        "Train": {
+            "img_h": 192, "img_w": 256, "batch_size": 8,
+            "epoch": 3, "valid_freq": 10, "save_freq": 1,
+            "num_workers": 4, "init_lr": 1e-4,
+        },
+        "Experiment": {"num_devices": 1},
+    })
+
+
+def depth_config(out_root: str, fixture_root: str):
+    from deep_visual_slam_tpu.utils.config import load_config
+
+    cfg = load_config(overrides={
+        "Directory": {
+            "exp_name": "parity-depth",
+            "data_dir": fixture_root + "/",
+            "log_dir": os.path.join(out_root, "tb"),
+            "weights": os.path.join(out_root, "weights"),
+            "results": os.path.join(out_root, "results"),
+        },
+        "Train": {
+            "img_h": 192, "img_w": 256, "batch_size": 8,
+            "epoch": 3, "valid_freq": 10, "save_freq": 1,
+            "num_workers": 4, "init_lr": 1e-4,
+        },
+        "Experiment": {"num_devices": 1},
+    })
+    cfg["Dataset"] = {"nyu_depth_v2": True, "redwood_depth": False}
+    return cfg
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results/parity")
+    ap.add_argument("--redwood_root", default=None,
+                    help="real Redwood tree (skips the fixture)")
+    ap.add_argument("--nyu_root", default=None)
+    ap.add_argument("--stages", nargs="*",
+                    default=["data", "train_vo", "train_depth", "eval"])
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    redwood_root = args.redwood_root or os.path.join(args.out, "fixture", "redwood")
+    nyu_root = args.nyu_root or os.path.join(args.out, "fixture")
+    provenance = (
+        "synthetic fixture scenes (framework renderer), 640x480"
+        if args.redwood_root is None else args.redwood_root
+    )
+
+    if "data" in args.stages and args.redwood_root is None:
+        make_redwood_fixture(redwood_root)
+        make_nyu_fixture(nyu_root)
+
+    import jax
+    import jax.numpy as jnp
+
+    results = {"provenance": provenance,
+               "device": str(jax.devices()[0]),
+               "timestamp": time.strftime("%Y-%m-%d %H:%M:%S")}
+
+    vo_params = None
+    if "train_vo" in args.stages:
+        from deep_visual_slam_tpu.training.vo_trainer import Trainer
+
+        t0 = time.time()
+        trainer = Trainer(vo_config(args.out), use_mesh=False)
+        trainer.train()
+        vo_params = jax.device_get(trainer.state.params)
+        vo_stats = jax.device_get(trainer.state.batch_stats)
+        results["vo_train_seconds"] = round(time.time() - t0, 1)
+        results["vo_train_steps"] = int(np.asarray(trainer.state.step))
+        trainer.writer.close()
+        trainer.ckpt.close()
+
+    depth_state = None
+    if "train_depth" in args.stages:
+        from deep_visual_slam_tpu.training.depth_trainer import Trainer as DTrainer
+
+        t0 = time.time()
+        dtrainer = DTrainer(depth_config(args.out, nyu_root), use_mesh=False)
+        dtrainer.train()
+        depth_state = (
+            jax.device_get(dtrainer.state.params),
+            jax.device_get(dtrainer.state.batch_stats),
+        )
+        results["depth_train_seconds"] = round(time.time() - t0, 1)
+
+    if "eval" in args.stages:
+        # ---- trajectory eval (reference vo/eval_redwood.py formulas)
+        from deep_visual_slam_tpu.eval.redwood_eval import (
+            RedwoodEvaluator,
+            make_pose_fn,
+        )
+        from deep_visual_slam_tpu.models import PoseNet
+
+        pose_model = PoseNet(dtype=jnp.bfloat16)
+        if vo_params is not None:
+            variables = {"params": vo_params["pose"],
+                         "batch_stats": vo_stats["pose"]}
+        else:
+            variables = jax.jit(pose_model.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, H, W, 6), jnp.float32)
+            )
+        evaluator = RedwoodEvaluator(
+            make_pose_fn(pose_model, variables), redwood_root,
+            image_size=(H, W),
+        )
+        scene_results = evaluator.evaluate(
+            SCENES, output_dir=os.path.join(args.out, "redwood_eval")
+        )
+        results["redwood"] = scene_results
+
+        # ---- depth eval (reference depth/util/metrics.py formulas)
+        if depth_state is not None:
+            from deep_visual_slam_tpu.data.nyu import DepthLoader
+            from deep_visual_slam_tpu.eval.metrics import DepthMetrics
+            from deep_visual_slam_tpu.models import DepthNet
+            from deep_visual_slam_tpu.ops import disp_to_depth
+
+            cfg = depth_config(args.out, nyu_root)
+            t = cfg["Train"]
+            model = DepthNet(dtype=jnp.bfloat16)
+            dvars = {"params": depth_state[0]["depth"],
+                     "batch_stats": depth_state[1]["depth"]}
+
+            @jax.jit
+            def infer(img):
+                disps = model.apply(dvars, img, train=False)
+                _, depth = disp_to_depth(
+                    disps[("disp", 0)], t["min_depth"], t["max_depth"]
+                )
+                return depth
+
+            loader = DepthLoader(cfg)
+            metrics = DepthMetrics(
+                min_depth=t["min_depth"], max_depth=t["max_depth"]
+            )
+            for batch in loader.valid_loader:
+                pred = np.asarray(infer(jnp.asarray(batch["image"])))
+                metrics.update(pred, batch["depth"], batch["valid_mask"])
+            results["depth"] = {k: float(v) for k, v in metrics.result().items()}
+
+        out_path = os.path.join(args.out, "parity_results.json")
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2, default=float)
+        print(json.dumps(results, indent=2, default=float))
+        print(f"\nwritten: {out_path}")
+
+
+if __name__ == "__main__":
+    main()
