@@ -16,6 +16,7 @@ transform ``T_cw`` (composed at insertion); the reference stores the
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Tuple
 
 import cv2
@@ -74,9 +75,20 @@ def extract_features(image: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray
 def match_descriptors(
     des1: Optional[np.ndarray], des2: Optional[np.ndarray]
 ) -> Tuple[List[int], List[int]]:
-    """Lowe-ratio KNN matching with dedup (reference ``:46-67``)."""
+    """Lowe-ratio KNN matching with dedup (reference ``:46-67``).
+
+    Set ``DVS_TPU_MATCHER=1`` to run the O(N^2) hamming 2-NN on the
+    accelerator's MXU (``ops/matching.py``) instead of cv2 — wins on locally
+    attached chips where the host CPU is the frontend bottleneck; the cv2
+    path stays default because a tunnelled chip's per-dispatch RPC latency
+    exceeds the 71 ms single-core match.
+    """
     if des1 is None or des2 is None or len(des1) < 2 or len(des2) < 2:
         return [], []
+    if os.environ.get("DVS_TPU_MATCHER"):
+        from deep_visual_slam_tpu.ops.matching import match_descriptors_device
+
+        return match_descriptors_device(des1, des2)
     matches = _get_matcher().knnMatch(des1, des2, k=2)
     idx1, idx2 = [], []
     s1, s2 = set(), set()
