@@ -14,6 +14,11 @@ from typing import Dict, Tuple
 import numpy as np
 import jax.numpy as jnp
 
+import contextlib
+import functools
+
+import jax
+
 from deep_visual_slam_tpu.ops import (
     backproject,
     grid_sample,
@@ -25,18 +30,53 @@ from deep_visual_slam_tpu.ops import (
 from deep_visual_slam_tpu.ops.camera import make_intrinsics  # noqa: F811
 
 
+def _on_cpu():
+    """Context pinning jnp work to the host CPU.
+
+    Data generation runs inside the input pipeline; letting its small
+    jnp ops dispatch to the default accelerator serializes training on a
+    remote/tunnelled chip (~100 ms RPC per op) and contends with the real
+    train step on any chip.
+    """
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # no CPU backend (never in practice)
+        return contextlib.nullcontext()
+
+
+def _run_on_cpu(fn):
+    """Decorator: run a generator function's jnp ops on the host CPU."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with _on_cpu():
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+def _box_blur_1d(x: np.ndarray, axis: int, k: int) -> np.ndarray:
+    """Zero-padded 'same' box filter along ``axis`` via cumulative sums —
+    vectorized (the previous np.apply_along_axis/np.convolve version looped
+    in Python per row and dominated synthetic-data training on a 1-core
+    host)."""
+    h = k // 2
+    x = np.moveaxis(x, axis, -1)
+    pad = np.zeros(x.shape[:-1] + (x.shape[-1] + k,), np.float64)
+    pad[..., h + 1 : h + 1 + x.shape[-1]] = x
+    cs = np.cumsum(pad, axis=-1)
+    out = (cs[..., k:] - cs[..., :-k]) / k
+    return np.moveaxis(out.astype(np.float32), -1, axis)
+
+
 def smooth_texture(
     rng: np.random.Generator, batch: int, height: int, width: int, sigma: int = 4
 ) -> np.ndarray:
     """Band-limited random RGB texture in [0, 1] (bilinear-friendly)."""
     base = rng.uniform(size=(batch, height, width, 3)).astype(np.float32)
-    # Separable box blur (avoid scipy dependency in the hot path).
     k = 2 * sigma + 1
-    kernel = np.ones(k, np.float32) / k
     for axis in (1, 2):
-        base = np.apply_along_axis(
-            lambda m: np.convolve(m, kernel, mode="same"), axis, base
-        )
+        base = _box_blur_1d(base, axis, k)
     lo = base.min(axis=(1, 2, 3), keepdims=True)
     hi = base.max(axis=(1, 2, 3), keepdims=True)
     return (base - lo) / np.maximum(hi - lo, 1e-6)
@@ -60,6 +100,7 @@ def default_intrinsics(height: int, width: int) -> np.ndarray:
     return np.asarray(make_intrinsics(fx, fy, cx, cy))
 
 
+@_run_on_cpu
 def synthetic_vo_batch(
     seed: int,
     batch_size: int,
@@ -146,6 +187,7 @@ class SyntheticStereoDataset:
     def __len__(self) -> int:
         return self.length
 
+    @_run_on_cpu
     def __getitem__(self, idx: int, rng=None) -> Dict:
         H, W = self.image_size
         rng = np.random.default_rng((self.seed, idx))
@@ -175,6 +217,7 @@ class SyntheticStereoDataset:
         }
 
 
+@_run_on_cpu
 def synthetic_slam_sequence(
     n_frames: int,
     height: int,
@@ -273,6 +316,7 @@ class SyntheticVoDataset:
         return sample
 
 
+@_run_on_cpu
 def synthetic_depth_batch(
     seed: int, batch_size: int, height: int, width: int, max_depth: float = 10.0
 ) -> Dict[str, jnp.ndarray]:
