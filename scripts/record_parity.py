@@ -152,7 +152,8 @@ def main() -> None:
                     help="real Redwood tree (skips the fixture)")
     ap.add_argument("--nyu_root", default=None)
     ap.add_argument("--stages", nargs="*",
-                    default=["data", "train_vo", "train_depth", "eval"])
+                    default=["data", "train_vo", "warmstart", "train_depth",
+                             "eval"])
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
@@ -187,6 +188,50 @@ def main() -> None:
         results["vo_train_steps"] = int(np.asarray(trainer.state.step))
         trainer.writer.close()
         trainer.ckpt.close()
+
+    if "warmstart" in args.stages and vo_params is not None:
+        # VERDICT #2 done-criterion: loading pretrained weights through the
+        # Train.pretrained_weights path gives a lower starting loss than
+        # random init (here the 'pretrained' weights are the just-trained
+        # ones, exercising the full .npz load+graft path end to end).
+        from deep_visual_slam_tpu.training.vo_trainer import Trainer
+        from deep_visual_slam_tpu.utils.pretrained import save_variables_npz
+
+        depth_npz = os.path.join(args.out, "depth_warm.npz")
+        pose_npz = os.path.join(args.out, "pose_warm.npz")
+        save_variables_npz(depth_npz, {
+            "params": vo_params["depth"], "batch_stats": vo_stats["depth"],
+        })
+        save_variables_npz(pose_npz, {
+            "params": vo_params["pose"], "batch_stats": vo_stats["pose"],
+        })
+
+        def first_loss(extra):
+            cfg = vo_config(args.out)
+            cfg["Directory"]["weights"] = os.path.join(args.out, "tmp_w")
+            cfg["Train"].update(extra)
+            tr = Trainer(cfg, use_mesh=False)
+            from deep_visual_slam_tpu.data.loader import device_prefetch
+
+            batch = next(iter(device_prefetch(tr.data_loader.train_loader)))
+            _, losses = tr.eval_step(tr.state, batch, jax.random.PRNGKey(0))
+            tr.writer.close()
+            tr.ckpt.close()
+            return float(losses["loss"])
+
+        import shutil
+
+        loss_random = first_loss({})
+        shutil.rmtree(os.path.join(args.out, "tmp_w"), ignore_errors=True)
+        loss_warm = first_loss(
+            {"pretrained_weights": {"depth": depth_npz, "pose": pose_npz}}
+        )
+        shutil.rmtree(os.path.join(args.out, "tmp_w"), ignore_errors=True)
+        results["warmstart"] = {
+            "first_batch_loss_random_init": loss_random,
+            "first_batch_loss_pretrained": loss_warm,
+        }
+        print(f"warmstart: random {loss_random:.4f} vs pretrained {loss_warm:.4f}")
 
     depth_state = None
     if "train_depth" in args.stages:
@@ -256,11 +301,17 @@ def main() -> None:
                 metrics.update(pred, batch["depth"], batch["valid_mask"])
             results["depth"] = {k: float(v) for k, v in metrics.result().items()}
 
-        out_path = os.path.join(args.out, "parity_results.json")
-        with open(out_path, "w") as f:
-            json.dump(results, f, indent=2, default=float)
-        print(json.dumps(results, indent=2, default=float))
-        print(f"\nwritten: {out_path}")
+    # Merge over any previous run so stages can be re-run independently.
+    out_path = os.path.join(args.out, "parity_results.json")
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print(json.dumps(results, indent=2, default=float))
+    print(f"\nwritten: {out_path}")
 
 
 if __name__ == "__main__":
