@@ -46,6 +46,9 @@ class Map:
         # per call at 640x480xF=7 otherwise — the dominant cost over a
         # remote-TPU link). Evicted when a frame leaves the keyframe set.
         self._dev_images: Dict[int, "jnp.ndarray"] = {}
+        # In-flight windowed BA (pipelined mode): (window, points, poses,
+        # depths) device results not yet written back to host state.
+        self._pending_ba = None
 
     # ------------------------------------------------------------- registry
     def add_frame(self, frame) -> int:
@@ -234,9 +237,37 @@ class Map:
         for p_i, pt in enumerate(points):
             pt.update_host_depth(max(0.01, float(depths[p_i])))
 
-    def optimize(self, intrinsic: np.ndarray, iters: int = 6, verbose: bool = False) -> bool:
+    def flush_ba(self) -> None:
+        """Materialize an in-flight pipelined BA into host frame/point state.
+
+        Called before anything reads or rebuilds from host poses/depths
+        (the next optimize, global BA, trajectory export).
+        """
+        if self._pending_ba is None:
+            return
+        window, points, poses, depths = self._pending_ba
+        self._pending_ba = None
+        self._write_back(
+            window, points, np.asarray(poses)[: len(window)], depths
+        )
+
+    def optimize(
+        self,
+        intrinsic: np.ndarray,
+        iters: int = 6,
+        verbose: bool = False,
+        pipelined: bool = True,
+    ) -> bool:
         """Windowed BA over current keyframes + marginalization
-        (reference ``:222-319``)."""
+        (reference ``:222-319``).
+
+        ``pipelined=True`` (default) dispatches the jitted solver
+        asynchronously and defers the host write-back until the next read
+        (``flush_ba``) — the solver runs while the frontend processes the
+        next frame, hiding one device round-trip per keyframe. Results are
+        identical; they just land one frame later.
+        """
+        self.flush_ba()
         window = self.keyframes[-self.num_kf:]
         built = self._build_problem(
             intrinsic, window, self.max_points, pad_frames=self.num_kf
@@ -247,7 +278,10 @@ class Map:
         poses, depths, diag = photometric_ba(problem, num_iters=iters)
         if verbose:
             print(f"windowed BA chi2: {float(diag['chi2']):.6f}")
-        self._write_back(window, points, poses[: len(window)], depths)
+        if pipelined and not verbose:
+            self._pending_ba = (window, points, poses, depths)
+        else:
+            self._write_back(window, points, poses[: len(window)], depths)
 
         # Marginalize the oldest keyframe once the window is full: its points
         # become invalid (reference ``:296-319``).
@@ -262,6 +296,7 @@ class Map:
         self, intrinsic: np.ndarray, iters: int = 20, verbose: bool = True
     ) -> bool:
         """BA over ALL keyframes, staged x3 (reference ``:99-220``)."""
+        self.flush_ba()
         frames = self.keyframes
         if len(frames) < 2:
             return False

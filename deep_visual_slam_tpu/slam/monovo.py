@@ -243,4 +243,5 @@ class MonoVO:
 
     def trajectory(self) -> np.ndarray:
         """Global camera-to-world poses of all frames ([N, 4, 4])."""
+        self.mp.flush_ba()  # land any pipelined BA before reading poses
         return np.stack([np.linalg.inv(f.pose) for f in self.mp.frames])
