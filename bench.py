@@ -145,6 +145,9 @@ def main() -> None:
 if __name__ == "__main__":
     import sys
 
+    from deep_visual_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if "--slam" in sys.argv:
         slam_bench()
     else:

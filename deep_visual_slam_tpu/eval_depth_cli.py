@@ -17,6 +17,9 @@ import os
 
 
 def main() -> None:
+    from deep_visual_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Depth metric evaluation")
     parser.add_argument("--config", default=None)
     parser.add_argument("--weights", default=None)

@@ -13,6 +13,9 @@ import os
 
 
 def main() -> None:
+    from deep_visual_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Redwood trajectory eval")
     parser.add_argument("--config", default=None)
     parser.add_argument("--weights", default=None, help="orbax params checkpoint")

@@ -71,6 +71,9 @@ def save_trajectory_plot(traj, out_path: str) -> None:
 
 
 def main() -> None:
+    from deep_visual_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Offline monocular SLAM")
     parser.add_argument("--input", required=True, help="video file or image dir")
     parser.add_argument("--output", default="results/slam")

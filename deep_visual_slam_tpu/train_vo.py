@@ -10,6 +10,9 @@ import argparse
 
 
 def main() -> None:
+    from deep_visual_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="VO self-supervised training")
     parser.add_argument("--config", default=None, help="YAML config path")
     parser.add_argument("--data_root", default=None, help="override data dir")
