@@ -26,6 +26,7 @@ from deep_visual_slam_tpu.ops.camera import (
 from deep_visual_slam_tpu.ops.warp import (
     grid_sample,
     resize_bilinear,
+    resize_bilinear_align_corners,
     upsample_nearest_2x,
 )
 from deep_visual_slam_tpu.ops.photometric import (
@@ -54,6 +55,7 @@ __all__ = [
     "make_intrinsics",
     "grid_sample",
     "resize_bilinear",
+    "resize_bilinear_align_corners",
     "upsample_nearest_2x",
     "ssim",
     "reprojection_loss",
