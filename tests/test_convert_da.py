@@ -185,3 +185,37 @@ def test_depth_anything_full_parity(rng):
 
     assert depth_flax.shape == depth_torch.shape == (1, H, W)
     np.testing.assert_allclose(depth_flax, depth_torch, atol=1e-4)
+
+
+def test_predict_depth_anything_cli(tmp_path, rng, monkeypatch, capsys):
+    """End-to-end CLI drive: .pth checkpoint -> converted+cached -> padded
+    jitted inference -> 16-bit depth PNG (+ colormap)."""
+    import cv2
+    import sys
+
+    from deep_visual_slam_tpu.predict_depth_anything import main
+
+    torch.manual_seed(1)
+    ckpt = str(tmp_path / "depth_anything_v2_vits.pth")
+    torch.save(TDepthAnything().state_dict(), ckpt)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    # 50x60 -> exercises padding to the 14-px grid (56x70)
+    img = (rng.uniform(size=(50, 60, 3)) * 255).astype(np.uint8)
+    cv2.imwrite(str(img_dir / "a.png"), img)
+
+    out_dir = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "predict_depth_anything", "--weights", ckpt, "--encoder", "vits",
+        "--input", str(img_dir), "--output", out_dir, "--colormap",
+    ])
+    main()
+
+    depth = cv2.imread(str(tmp_path / "out" / "a_depth.png"), cv2.IMREAD_UNCHANGED)
+    assert depth is not None and depth.shape == (50, 60)
+    assert depth.dtype == np.uint16
+    assert 0 < depth.max() <= 20000  # mm, within max_depth
+    assert (tmp_path / "out" / "a_depth_vis.png").exists()
+    # the converted checkpoint was cached next to the .pth
+    assert (tmp_path / "depth_anything_v2_vits.npz").exists()
