@@ -139,3 +139,37 @@ def test_shard_batch_places_on_data_axis(mesh):
     out = shard_batch(batch, mesh)
     shard_shapes = {s.data.shape for s in out["x"].addressable_shards}
     assert shard_shapes == {(2, 3)}
+
+
+def test_train_step_on_2d_mesh(cpu_devices):
+    """The reserved model axis composes: a (data=4, model=2) mesh runs the
+    full VO train step with batch sharded over 'data' and params replicated
+    (GSPMD keeps gradient reductions on the data axis; the model axis is
+    ready for tensor-parallel shardings without API changes)."""
+    import jax.numpy as jnp
+
+    from deep_visual_slam_tpu.data.synthetic import synthetic_vo_batch
+    from deep_visual_slam_tpu.models import DepthNet, PoseNet
+    from deep_visual_slam_tpu.training import (
+        TrainState,
+        VOLossConfig,
+        init_vo_models,
+        make_optimizer,
+        make_vo_train_step,
+    )
+
+    mesh2d = make_mesh(cpu_devices[:8], data_parallel=4, model_parallel=2)
+    dm, pm = DepthNet(dtype=jnp.float32), PoseNet(dtype=jnp.float32)
+    v = init_vo_models(dm, pm, (64, 96), jax.random.PRNGKey(0))
+    state = TrainState.create(v["params"], v["batch_stats"], make_optimizer(1e-4, 10))
+    state = state.replace(
+        params=replicate(state.params, mesh2d),
+        batch_stats=replicate(state.batch_stats, mesh2d),
+        opt_state=replicate(state.opt_state, mesh2d),
+    )
+    step = make_vo_train_step(dm, pm, VOLossConfig(), mesh=mesh2d)
+    batch, _ = synthetic_vo_batch(0, 4, 64, 96)
+    batch = shard_batch(batch, mesh2d)
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["loss"]))
+    assert int(np.asarray(state.step)) == 1
