@@ -37,24 +37,13 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from deep_visual_slam_tpu.models.resnet import ResNetEncoder
-from deep_visual_slam_tpu.ops.warp import upsample_nearest_2x
+from deep_visual_slam_tpu.ops.warp import (
+    depth_to_space2,
+    space_to_depth2,
+    upsample_nearest_2x,
+)
 
 DEC_CHANNELS = (16, 32, 64, 128, 256)
-
-
-def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
-    """[B, 2h, 2w, C] -> [B, h, w, 4C]; channel block = phase py*2+px."""
-    B, H, W, C = x.shape
-    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
-
-
-def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`space_to_depth2`."""
-    B, h, w, C4 = x.shape
-    C = C4 // 4
-    x = x.reshape(B, h, w, 2, 2, C)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * h, 2 * w, C)
 
 
 def _phase_kernel(W: jnp.ndarray, a_channels: int, s_channels: int) -> jnp.ndarray:

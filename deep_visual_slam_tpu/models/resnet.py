@@ -105,6 +105,43 @@ def _max_pool_3x3_s2(x):
     )
 
 
+class _StemParams(nn.Module):
+    """The stem conv's kernel with nn.Conv's exact name/shape/init, declared
+    without running the conv (the s2d stem consumes it rearranged)."""
+
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            (7, 7, self.in_features, 64),
+        )
+
+
+def _s2d_stem_kernel(W: jnp.ndarray) -> jnp.ndarray:
+    """Logical stem kernel [7, 7, Cin, 64] -> phase-domain [4, 4, 4Cin, 64].
+
+    The stride-2 7x7 zero-padded stem is exactly a stride-1 4x4 conv over
+    the 2x2 space-to-depth input: full-res tap row 2y+dy-3 lands in half-res
+    cell y + floor((dy-3)/2), phase (dy-3) mod 2 (zero padding is trivially
+    preserved). B=1 full-res 3/6-channel convs run at ~1% MXU efficiency;
+    the s2d form measures ~2x faster on-chip.
+    """
+    Cin = W.shape[2]
+    K = jnp.zeros((4, 4, 4 * Cin, 64), W.dtype)
+    for dy in range(7):
+        u = (dy - 3) // 2 + 2
+        pry = (dy - 3) % 2
+        for dx in range(7):
+            v = (dx - 3) // 2 + 2
+            prx = (dx - 3) % 2
+            blk = (pry * 2 + prx) * Cin
+            K = K.at[u, v, blk:blk + Cin, :].set(W[dy, dx])
+    return K
+
+
 class ResNetEncoder(nn.Module):
     """Multi-scale ResNet feature encoder.
 
@@ -126,6 +163,13 @@ class ResNetEncoder(nn.Module):
     bn_momentum: float = 0.9
     bn_epsilon: float = 1e-5
     bn_axis_name: str | None = None
+    # Compute the stride-2 7x7 stem as a stride-1 4x4 conv in the 2x2
+    # space-to-depth domain (exact; see _s2d_stem_kernel). Same parameters.
+    # Default OFF: the fused stem wins in isolation (0.24 vs 0.48 ms at
+    # 640x480 B=1) but REGRESSES the full VO pipeline (306 -> 247 FPS) —
+    # the s2d layout propagates into the rest of the program and forces
+    # relayouts. Kept as a measured, tested option.
+    s2d_stem: bool = False
 
     @property
     def num_ch_enc(self) -> Tuple[int, ...]:
@@ -154,7 +198,21 @@ class ResNetEncoder(nn.Module):
         x = (x.astype(self.dtype) - 0.45) / 0.225
 
         features = []
-        x = _conv(64, 7, 2, self.dtype)(x)
+        if self.s2d_stem:
+            import jax
+            from deep_visual_slam_tpu.ops.warp import space_to_depth2
+
+            W = _StemParams(x.shape[-1], name="Conv_0")()
+            K = _s2d_stem_kernel(W)
+            x = jax.lax.conv_general_dilated(
+                space_to_depth2(x).astype(self.dtype),
+                K.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=((2, 1), (2, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        else:
+            x = _conv(64, 7, 2, self.dtype)(x)
         x = norm()(x)
         x = nn.relu(x)
         features.append(x)  # H/2, 64

@@ -119,6 +119,26 @@ def resize_bilinear_align_corners(
     return grid_sample(image, grid, align_corners=True, padding_mode="border")
 
 
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, 2h, 2w, C] -> [B, h, w, 4C]; channel block = phase py*2+px.
+
+    The layout contract of the phase-fused conv formulations
+    (models/depthnet.py, models/resnet.py): B=1 full-res small-C convs run
+    near 1% MXU efficiency, so the hot stages compute in this domain.
+    """
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+
+
+def depth_to_space2(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth2`."""
+    B, h, w, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, h, w, 2, 2, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * h, 2 * w, C)
+
+
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2x spatial upsample, NHWC.
 

@@ -63,3 +63,28 @@ def test_depthnet_param_tree_unchanged(rng):
     assert p1 == p2
     for a, b in zip(jax.tree_util.tree_leaves(v1), jax.tree_util.tree_leaves(v2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_s2d_stem_equals_standard(rng):
+    """The space-to-depth stem == the stride-2 7x7 stem on shared params,
+    float32, including zero-padding borders (models/resnet.py)."""
+    from deep_visual_slam_tpu.models.resnet import ResNetEncoder
+
+    for cin_imgs in (1, 2):
+        std = ResNetEncoder(num_input_images=cin_imgs, s2d_stem=False)
+        s2d = ResNetEncoder(num_input_images=cin_imgs, s2d_stem=True)
+        x = jnp.asarray(
+            rng.uniform(size=(2, 64, 96, 3 * cin_imgs)).astype(np.float32)
+        )
+        v = std.init(jax.random.PRNGKey(0), x)
+        # identical parameter trees
+        assert jax.tree_util.tree_structure(
+            s2d.init(jax.random.PRNGKey(0), x)
+        ) == jax.tree_util.tree_structure(v)
+        f_std = std.apply(v, x, train=False)
+        f_s2d = s2d.apply(v, x, train=False)
+        for i, (a, b) in enumerate(zip(f_std, f_s2d)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-5,
+                err_msg=f"imgs={cin_imgs} feature {i}",
+            )
