@@ -115,6 +115,7 @@ class Map:
     def relative_to_global(self) -> List[np.ndarray]:
         """Global poses of all frames (frames store T_cw already; kept for
         API parity with reference ``:348-356``)."""
+        self.flush_ba()
         return [f.pose.copy() for f in self.frames]
 
     def keypoints(self, frames: Optional[List[Frame]] = None) -> Dict[Point, List[Tuple[Frame, int]]]:

@@ -142,6 +142,10 @@ class MonoVO:
         network step is dispatched asynchronously, features are extracted and
         matched against the previous frame, and only then are the device
         results materialized.
+
+        Note: with pipelined BA (Map.optimize default) the returned pose is
+        the network-composed pose; the BA refinement lands at the next read
+        (``trajectory()`` / the next optimize), one frame later.
         """
         import time as _time
 
