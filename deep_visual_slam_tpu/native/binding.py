@@ -29,17 +29,25 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         digest = hashlib.sha256(f.read()).hexdigest()[:16]
     so_path = os.path.join(_HERE, f"_preprocess_{digest}.so")
     if not os.path.exists(so_path):
+        # Unique tmp per process: concurrent builders (e.g. xdist workers)
+        # must never share a tmp path, or os.replace can publish a file the
+        # other process is still writing.
+        tmp = f"{so_path}.{os.getpid()}.tmp"
         cmd = [
             "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-            _SRC, "-o", so_path + ".tmp",
+            _SRC, "-o", tmp,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(so_path + ".tmp", so_path)
+            os.replace(tmp, so_path)
         except (subprocess.SubprocessError, OSError) as e:
             print(f"native preprocess build failed ({e}); using cv2 fallback")
             return None
-    lib = ctypes.CDLL(so_path)
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError as e:
+        print(f"native preprocess load failed ({e}); using cv2 fallback")
+        return None
     lib.resize_normalize_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
