@@ -79,9 +79,11 @@ def match_descriptors_device(
         return [], []
     n1, n2 = len(des1), len(des2)
     if n1 > capacity or n2 > capacity:  # fall back for oversized inputs
-        from deep_visual_slam_tpu.slam.frontend import match_descriptors
+        # Call the cv2 implementation directly: the env-gated dispatcher
+        # would route straight back here (infinite mutual recursion).
+        from deep_visual_slam_tpu.slam.frontend import match_descriptors_cv2
 
-        return match_descriptors(des1, des2)
+        return match_descriptors_cv2(des1, des2)
 
     bits1 = _unpack_bits(np.asarray(des1, np.uint8), capacity)
     bits2 = _unpack_bits(np.asarray(des2, np.uint8), capacity)

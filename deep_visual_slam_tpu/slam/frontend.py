@@ -72,6 +72,12 @@ def extract_features(image: np.ndarray) -> Tuple[np.ndarray, Optional[np.ndarray
     return pts, des
 
 
+def _env_flag(name: str) -> bool:
+    """True for conventional truthy values only ('1', 'true', 'yes', 'on');
+    DVS_TPU_MATCHER=0/false must disable, not enable."""
+    return os.environ.get(name, "").strip().lower() in ("1", "true", "yes", "on")
+
+
 def match_descriptors(
     des1: Optional[np.ndarray], des2: Optional[np.ndarray]
 ) -> Tuple[List[int], List[int]]:
@@ -85,10 +91,18 @@ def match_descriptors(
     """
     if des1 is None or des2 is None or len(des1) < 2 or len(des2) < 2:
         return [], []
-    if os.environ.get("DVS_TPU_MATCHER"):
+    if _env_flag("DVS_TPU_MATCHER"):
         from deep_visual_slam_tpu.ops.matching import match_descriptors_device
 
         return match_descriptors_device(des1, des2)
+    return match_descriptors_cv2(des1, des2)
+
+
+def match_descriptors_cv2(
+    des1: np.ndarray, des2: np.ndarray
+) -> Tuple[List[int], List[int]]:
+    """The host (cv2 BFMatcher) matching path, env-gate free — also the
+    oversized-input fallback target for ``ops.matching``."""
     matches = _get_matcher().knnMatch(des1, des2, k=2)
     idx1, idx2 = [], []
     s1, s2 = set(), set()

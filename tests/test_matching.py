@@ -46,3 +46,33 @@ def test_env_flag_routes_to_device(monkeypatch):
     expected = match_descriptors(d1, d2)
     monkeypatch.setenv("DVS_TPU_MATCHER", "1")
     assert match_descriptors(d1, d2) == expected
+
+
+def test_env_flag_zero_disables_device(monkeypatch):
+    """DVS_TPU_MATCHER=0/false must route to cv2, not the device path."""
+    import deep_visual_slam_tpu.slam.frontend as fe
+
+    rng = np.random.default_rng(3)
+    d1, d2 = _descriptors(rng, 50, planted_pairs=5)
+
+    def boom(*a, **k):  # pragma: no cover - should never run
+        raise AssertionError("device matcher called despite =0")
+
+    monkeypatch.setattr(
+        "deep_visual_slam_tpu.ops.matching.match_descriptors_device", boom
+    )
+    for off in ("0", "false", "no", "off", ""):
+        monkeypatch.setenv("DVS_TPU_MATCHER", off)
+        assert fe.match_descriptors(d1, d2) == fe.match_descriptors_cv2(d1, d2)
+
+
+def test_oversized_fallback_no_recursion(monkeypatch):
+    """>capacity inputs under DVS_TPU_MATCHER=1 must hit cv2 directly
+    (regression: the env-gated dispatcher used to recurse back here)."""
+    from deep_visual_slam_tpu.slam.frontend import match_descriptors_cv2
+
+    monkeypatch.setenv("DVS_TPU_MATCHER", "1")
+    rng = np.random.default_rng(4)
+    d1, d2 = _descriptors(rng, 40, planted_pairs=8)
+    got = match_descriptors_device(d1, d2, capacity=32)  # force oversized
+    assert got == match_descriptors_cv2(d1, d2)
