@@ -11,6 +11,7 @@ from deep_visual_slam_tpu.training.state import (
 from deep_visual_slam_tpu.training.steps import (
     make_vo_train_step,
     make_vo_eval_step,
+    make_stereo_train_step,
     make_depth_train_step,
     make_depth_eval_step,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "init_vo_models",
     "make_vo_train_step",
     "make_vo_eval_step",
+    "make_stereo_train_step",
     "make_depth_train_step",
     "make_depth_eval_step",
 ]

@@ -128,14 +128,34 @@ def make_vo_eval_step(
     )
 
 
+def _keep_old_pose(new_tree, old_tree):
+    """Restore every leaf under a dict key named 'pose' from ``old_tree``.
+
+    Zero gradients do NOT leave Adam inert: the first moment decays
+    (mu <- b1*mu) and the parameter still moves by -lr*mhat/(sqrt(vhat)+eps)
+    along stale momentum. A stereo step must be a pure depth update, so the
+    pose subtrees of params and optimizer state are put back verbatim.
+    """
+    import jax.tree_util as jtu
+
+    def pick(path, new, old):
+        in_pose = any(
+            isinstance(k, jtu.DictKey) and k.key == "pose" for k in path
+        )
+        return old if in_pose else new
+
+    return jtu.tree_map_with_path(pick, new_tree, old_tree)
+
+
 def make_stereo_train_step(
     depth_model, cfg: vo_learner.VOLossConfig, mesh: Optional[Mesh] = None
 ):
     """Stereo-pair train step: depth-only photometric loss at the known
     baseline pose (``vo_learner.process_stereo_batch``). Operates on the
-    same joint (depth+pose) TrainState as the mono step — PoseNet gradients
-    are identically zero, so plain-Adam moments stay untouched and the two
-    steps interleave freely within an epoch.
+    same joint (depth+pose) TrainState as the mono step; PoseNet params and
+    Adam moments are restored after the update (``_keep_old_pose``) so the
+    stereo stream trains the depth net only. The schedule/step count does
+    advance — the trainer accounts stereo updates in ``total_steps``.
     """
 
     def train_step(state: TrainState, batch, rng):
@@ -163,6 +183,10 @@ def make_stereo_train_step(
         new_stats = dict(state.batch_stats)
         new_stats["depth"] = new_depth_stats["depth"]
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
+        new_state = new_state.replace(
+            params=_keep_old_pose(new_state.params, state.params),
+            opt_state=_keep_old_pose(new_state.opt_state, state.opt_state),
+        )
         return new_state, losses
 
     return _jit_step(train_step, mesh)

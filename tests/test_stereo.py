@@ -109,3 +109,83 @@ def test_trainer_interleaves_stereo(tmp_path):
     assert np.isfinite(metrics["stereo_loss"])
     # 4 mono steps + 4 stereo steps at bs=4 over 16 samples each
     assert int(np.asarray(trainer.state.step)) == 8
+
+
+def test_stereo_step_freezes_posenet(tmp_path):
+    """A stereo step must be a pure depth update: PoseNet params AND its
+    Adam moments stay bit-identical even when stale momentum exists from a
+    preceding mono step (regression: zero grads still move params under
+    Adam via mu <- b1*mu)."""
+    import jax.tree_util as jtu
+
+    from deep_visual_slam_tpu.data.synthetic import (
+        SyntheticStereoDataset,
+        synthetic_vo_batch,
+    )
+    from deep_visual_slam_tpu.models import DepthNet, PoseNet
+    from deep_visual_slam_tpu.training import (
+        TrainState,
+        init_vo_models,
+        make_optimizer,
+        make_stereo_train_step,
+        make_vo_train_step,
+    )
+
+    depth_model = DepthNet()
+    pose_model = PoseNet()
+    variables = init_vo_models(depth_model, pose_model, (H, W), jax.random.PRNGKey(0))
+    tx = make_optimizer(1e-3, 100)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    cfg = VOLossConfig()
+
+    mono_step = make_vo_train_step(depth_model, pose_model, cfg)
+    stereo_step = make_stereo_train_step(depth_model, cfg)
+
+    mono_batch, _ = synthetic_vo_batch(0, 2, H, W)
+    ds = SyntheticStereoDataset((H, W), length=2, is_train=True)
+    stereo_batch = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *[ds[i] for i in range(2)]
+    )
+
+    # Build nonzero PoseNet momentum first.
+    state, _ = mono_step(state, mono_batch, jax.random.PRNGKey(1))
+    pose_params_before = jax.device_get(state.params["pose"])
+    pose_moments_before = jax.device_get(
+        [l for p, l in jtu.tree_flatten_with_path(state.opt_state)[0]
+         if any(isinstance(k, jtu.DictKey) and k.key == "pose" for k in p)]
+    )
+    depth_before = jax.device_get(
+        jtu.tree_leaves(state.params["depth"])[0]
+    )
+
+    state, losses = stereo_step(state, stereo_batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(losses["loss"]))
+
+    pose_params_after = jax.device_get(state.params["pose"])
+    pose_moments_after = jax.device_get(
+        [l for p, l in jtu.tree_flatten_with_path(state.opt_state)[0]
+         if any(isinstance(k, jtu.DictKey) and k.key == "pose" for k in p)]
+    )
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal, pose_params_after, pose_params_before
+    )
+    assert pose_moments_before  # the adam state does carry pose subtrees
+    for a, b in zip(pose_moments_after, pose_moments_before):
+        np.testing.assert_array_equal(a, b)
+    # ... while the depth net actually trained.
+    depth_after = jax.device_get(jtu.tree_leaves(state.params["depth"])[0])
+    assert not np.array_equal(depth_after, depth_before)
+
+
+def test_trainer_total_updates_counts_stereo(tmp_path):
+    """The LR schedule horizon must include interleaved stereo updates
+    (regression: it decayed to end_lr at ~50% of training)."""
+    from deep_visual_slam_tpu.training.vo_trainer import Trainer
+
+    cfg = _cfg(
+        tmp_path,
+        synthetic={"mono": True, "stereo": True, "length": 16},
+    )
+    trainer = Trainer(cfg)
+    # 4 mono + 4 stereo updates per epoch at bs=4 over 16 samples each.
+    assert trainer.total_updates == trainer.epochs * 8
