@@ -154,11 +154,17 @@ class Map:
 
     def register_device_image(self, frame_id: int, image: "jnp.ndarray") -> None:
         """Pre-seed the device cache (e.g. with the array already uploaded
-        for network inference). Only valid for a=1, b=0 frames."""
-        self._dev_images[frame_id] = image
+        for network inference). Only valid for a=1, b=0 frames.
 
-    def _evict_device_images(self) -> None:
-        live = {f.id for f in self.keyframes}
+        Evicts immediately: only keyframe images are ever read by the BA
+        backend, and eviction must not wait for ``optimize()`` (a sequence
+        that adds no keyframes would otherwise grow device memory by one
+        full image per processed frame, unbounded)."""
+        self._dev_images[frame_id] = image
+        self._evict_device_images(extra_live={frame_id})
+
+    def _evict_device_images(self, extra_live=()) -> None:
+        live = {f.id for f in self.keyframes} | set(extra_live)
         for fid in [k for k in self._dev_images if k not in live]:
             del self._dev_images[fid]
 

@@ -98,3 +98,18 @@ def test_monovo_pipeline_runs(rng):
     assert np.isfinite(traj).all()
     # Some points should have been tracked across frames.
     assert len(vo.mp.points) > 10
+
+
+def test_device_image_cache_bounded_without_keyframes(rng):
+    """register_device_image must evict immediately: a sequence that never
+    adds keyframes (static camera) must not grow device memory per frame."""
+    import jax.numpy as jnp
+
+    from deep_visual_slam_tpu.slam.map import Map
+
+    mp = Map(num_kf=3)
+    img = rng.uniform(size=(24, 32, 3)).astype(np.float32)
+    for fid in range(20):
+        mp.register_device_image(fid, jnp.asarray(img))
+        assert len(mp._dev_images) <= len(mp.keyframes) + 1
+    assert len(mp._dev_images) <= 1  # no keyframes -> only the newest frame
