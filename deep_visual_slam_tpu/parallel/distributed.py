@@ -53,6 +53,13 @@ def init_distributed(
     )
 
     if coordinator_address is None and num_processes in (None, 1):
+        if _looks_multihost_tpu():
+            # Cloud-TPU pod slice with no explicit flags: let
+            # jax.distributed.initialize() auto-detect coordinator/world
+            # size from the TPU environment (the normal multi-host flow).
+            jax.distributed.initialize()
+            _INITIALIZED = True
+            return jax.process_count()
         # Single host: nothing to initialize; mesh over local devices.
         _INITIALIZED = True
         return 1
@@ -64,3 +71,27 @@ def init_distributed(
     )
     _INITIALIZED = True
     return jax.process_count()
+
+
+def _looks_multihost_tpu() -> bool:
+    """True on a multi-worker cloud-TPU environment (pod slice).
+
+    Signals: ``DVS_DISTRIBUTED=1`` forces auto-init;
+    ``TPU_WORKER_HOSTNAMES``/``TPU_WORKER_IDS`` listing >1 worker (set by
+    the TPU runtime on GCE/GKE pod slices); ``MEGASCALE_NUM_SLICES`` > 1.
+    Single-worker v5e-1..8 hosts stay in the no-op path.
+    """
+    if os.environ.get("DVS_DISTRIBUTED", "").strip().lower() in (
+        "1", "true", "yes", "on",
+    ):
+        return True
+    for var in ("TPU_WORKER_HOSTNAMES", "TPU_WORKER_IDS"):
+        v = os.environ.get(var, "")
+        if "," in v.strip().strip(","):
+            return True
+    try:
+        if int(os.environ.get("MEGASCALE_NUM_SLICES", "1")) > 1:
+            return True
+    except ValueError:
+        pass
+    return False

@@ -173,3 +173,25 @@ def test_train_step_on_2d_mesh(cpu_devices):
     state, losses = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(losses["loss"]))
     assert int(np.asarray(state.step)) == 1
+
+
+def test_looks_multihost_tpu_detection(monkeypatch):
+    """Pod-slice detection: multi-worker TPU env vars trigger auto-init;
+    single-worker and this environment do not."""
+    from deep_visual_slam_tpu.parallel.distributed import _looks_multihost_tpu
+
+    for var in ("DVS_DISTRIBUTED", "TPU_WORKER_HOSTNAMES", "TPU_WORKER_IDS",
+                "MEGASCALE_NUM_SLICES"):
+        monkeypatch.delenv(var, raising=False)
+    assert not _looks_multihost_tpu()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
+    assert not _looks_multihost_tpu()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1,host2")
+    assert _looks_multihost_tpu()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("MEGASCALE_NUM_SLICES", "2")
+    assert _looks_multihost_tpu()
+    monkeypatch.setenv("MEGASCALE_NUM_SLICES", "1")
+    assert not _looks_multihost_tpu()
+    monkeypatch.setenv("DVS_DISTRIBUTED", "1")
+    assert _looks_multihost_tpu()
