@@ -85,6 +85,48 @@ def _edge_pad_hw(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
 
 
+def _strided_phase_kernel(W: jnp.ndarray) -> jnp.ndarray:
+    """Logical reflect-conv kernel [3, 3, C, F] -> output-phase-packed
+    stride-2 kernel [4, 4, C, 4F].
+
+    Packs the 2x2 output phases of a conv over a GENUINE (not
+    nearest-upsampled) logical-resolution tensor into channels: output cell
+    y, phase py reads logical rows 2y+py+dy, dy in {-1,0,1} — a 4-row window
+    anchored at 2y-1, so position py+dy+1 of a 4x4 stride-2 kernel. 9/16
+    density: 1.78x the logical FLOPs for 4x the output-lane utilization
+    (vs 4x FLOPs for space-to-depth'ing the input). Boundary: reflect-pad
+    the logical tensor by 1 on each side (rows -1..L), exactly the logical
+    conv's reflect padding.
+    """
+    F = W.shape[-1]
+    C = W.shape[2]
+    K = jnp.zeros((4, 4, C, 4 * F), W.dtype)
+    for py in range(2):
+        for px in range(2):
+            blk = (py * 2 + px) * F
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    K = K.at[py + dy + 1, px + dx + 1, :, blk:blk + F].set(
+                        W[dy + 1, dx + 1]
+                    )
+    return K
+
+
+def _strided_phase_conv(x: jnp.ndarray, K4: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[B, L, M, C] logical tensor -> [B, L/2, M/2, 4F] phase-packed output
+    of the logical reflect conv (kernel from :func:`_strided_phase_kernel`)."""
+    import jax
+
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        K4.astype(dtype),
+        window_strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class ReflectConv3x3(nn.Module):
     """Reflection-pad(1) + 3x3 conv — the reference's ``Conv3x3``
     (``model/layers.py:120-135``)."""
@@ -194,37 +236,85 @@ class DepthDecoder(nn.Module):
         x = features[-1]
         for i in range(4, -1, -1):
             x = ConvBlock(DEC_CHANNELS[i], self.dtype, name=f"upconv_{i}_0")(x)
-            if self.phase_fused and i == 0:
-                F = DEC_CHANNELS[0]
-                kern, bias = _ConvBlockParams(
-                    F, x.shape[-1], name="upconv_0_1"
-                )()
-                K = _phase_kernel(kern, a_channels=x.shape[-1], s_channels=0)
-                y = _phase_conv(x, K, self.dtype) + jnp.tile(
-                    bias, 4
-                ).astype(self.dtype)
-                y = nn.elu(y)  # phase-domain [B, h, w, 4F]
-                if 0 in self.scales:
-                    kd, bd = _Conv3x3Params(
-                        self.num_output_channels, F, name="dispconv_0"
-                    )()
-                    Kd = _phase_kernel(kd, a_channels=0, s_channels=F)
-                    d = _phase_conv(y, Kd, self.dtype) + jnp.tile(
-                        bd, 4
-                    ).astype(self.dtype)
-                    disp = depth_to_space2(d).astype(jnp.float32)
-                    outputs[("disp", 0)] = nn.sigmoid(disp)
-                return outputs
+            if self.phase_fused and i == 1 and self.use_skips:
+                return self._fused_tail(x, features[0], outputs)
             x = upsample_nearest_2x(x)
             if self.use_skips and i > 0:
                 x = jnp.concatenate([x, features[i - 1]], axis=-1)
             x = ConvBlock(DEC_CHANNELS[i], self.dtype, name=f"upconv_{i}_1")(x)
+            if self.phase_fused and i == 1:  # no-skip variant: fuse stage 0
+                if 1 in self.scales:
+                    disp = ReflectConv3x3(
+                        self.num_output_channels, self.dtype, name="dispconv_1"
+                    )(x)
+                    outputs[("disp", 1)] = nn.sigmoid(disp.astype(jnp.float32))
+                x = ConvBlock(DEC_CHANNELS[0], self.dtype, name="upconv_0_0")(x)
+                return self._fused_stage0(x, outputs)
             if i in self.scales:
                 disp = ReflectConv3x3(
                     self.num_output_channels, self.dtype, name=f"dispconv_{i}"
                 )(x)
                 outputs[("disp", i)] = nn.sigmoid(disp.astype(jnp.float32))
         return outputs
+
+    def _phase_disp(self, y: jnp.ndarray, F: int, name: str) -> jnp.ndarray:
+        """sigmoid dispconv over a phase-domain tensor y=[B,h,w,4F], returned
+        at logical resolution [B, 2h, 2w, 1]."""
+        kd, bd = _Conv3x3Params(self.num_output_channels, F, name=name)()
+        Kd = _phase_kernel(kd, a_channels=0, s_channels=F)
+        d = _phase_conv(y, Kd, self.dtype) + jnp.tile(
+            bd, 4
+        ).astype(self.dtype)
+        return nn.sigmoid(depth_to_space2(d).astype(jnp.float32))
+
+    def _fused_stage0(self, x: jnp.ndarray, outputs):
+        """Final (full-resolution) stage in the 2x2 phase domain: x is the
+        16-ch half-res output of upconv_0_0; the nearest-2x + reflect-conv
+        runs as an a-type phase conv (same FLOPs, 4x the output lanes)."""
+        F = DEC_CHANNELS[0]
+        kern, bias = _ConvBlockParams(F, x.shape[-1], name="upconv_0_1")()
+        K = _phase_kernel(kern, a_channels=x.shape[-1], s_channels=0)
+        y = _phase_conv(x, K, self.dtype) + jnp.tile(bias, 4).astype(self.dtype)
+        y = nn.elu(y)  # phase-domain [B, h, w, 4F]
+        if 0 in self.scales:
+            outputs[("disp", 0)] = self._phase_disp(y, F, "dispconv_0")
+        return outputs
+
+    def _fused_tail(self, x: jnp.ndarray, skip: jnp.ndarray, outputs):
+        """Stages 1 and 0 entirely in phase domains (B=1 inference hot path).
+
+        x: quarter-res 32-ch output of upconv_1_0 (pre-upsample);
+        skip: half-res encoder feature (64 ch). The logical stage-1 conv
+        splits by linearity: the nearest-upsampled part as an a-type phase
+        conv (1x FLOPs), the skip part as an output-phase-packed stride-2
+        4x4 conv (1.78x FLOPs, 4x lanes) — cheaper than space-to-depth'ing
+        the skip (4x FLOPs). upconv_0_0 (half-res logical) also runs
+        output-phase-packed; the final stage reuses ``_fused_stage0``.
+        """
+        F1 = DEC_CHANNELS[1]
+        a_ch = x.shape[-1]
+        kern, bias = _ConvBlockParams(
+            F1, a_ch + skip.shape[-1], name="upconv_1_1"
+        )()
+        Ka = _phase_kernel(kern[:, :, :a_ch], a_channels=a_ch, s_channels=0)
+        Ks = _strided_phase_kernel(kern[:, :, a_ch:])
+        y = (
+            _phase_conv(x, Ka, self.dtype)
+            + _strided_phase_conv(skip, Ks, self.dtype)
+            + jnp.tile(bias, 4).astype(self.dtype)
+        )
+        y = nn.elu(y)  # phase(x4): [B, H/4, W/4, 4*F1]
+        if 1 in self.scales:
+            outputs[("disp", 1)] = self._phase_disp(y, F1, "dispconv_1")
+        # upconv_0_0: logical half-res reflect conv, output-phase-packed.
+        F0 = DEC_CHANNELS[0]
+        k0, b0 = _ConvBlockParams(F0, F1, name="upconv_0_0")()
+        K0 = _strided_phase_kernel(k0)
+        y0 = _strided_phase_conv(depth_to_space2(y), K0, self.dtype) + jnp.tile(
+            b0, 4
+        ).astype(self.dtype)
+        x5 = depth_to_space2(nn.elu(y0))  # [B, H/2, W/2, F0]
+        return self._fused_stage0(x5, outputs)
 
 
 class DepthNet(nn.Module):

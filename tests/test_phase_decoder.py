@@ -53,6 +53,27 @@ def test_decoder_phase_fused_equals_standard(rng, hw):
         )
 
 
+def test_decoder_phase_fused_no_skips(rng):
+    """The no-skip fused variant (fuses only stage 0) matches the standard
+    no-skip decoder on shared params."""
+    H, W = 64, 96
+    feats = [
+        jnp.asarray(rng.normal(size=(1, H // f, W // f, c)).astype(np.float32))
+        for f, c in ((2, 64), (4, 64), (8, 128), (16, 256), (32, 512))
+    ]
+    std = DepthDecoder(dtype=jnp.float32, phase_fused=False, use_skips=False)
+    fused = DepthDecoder(dtype=jnp.float32, phase_fused=True, use_skips=False)
+    variables = std.init(jax.random.PRNGKey(0), feats)
+    out_std = std.apply(variables, feats)
+    out_fused = fused.apply(variables, feats)
+    assert set(out_std) == set(out_fused)
+    for k in out_std:
+        np.testing.assert_allclose(
+            np.asarray(out_fused[k]), np.asarray(out_std[k]),
+            atol=2e-6, err_msg=str(k),
+        )
+
+
 def test_depthnet_param_tree_unchanged(rng):
     """phase_fused True/False produce byte-identical parameter trees."""
     x = jnp.zeros((1, 64, 96, 3), jnp.float32)
