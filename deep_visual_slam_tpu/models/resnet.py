@@ -169,6 +169,10 @@ class ResNetEncoder(nn.Module):
     # 640x480 B=1) but REGRESSES the full VO pipeline (306 -> 247 FPS) —
     # the s2d layout propagates into the rest of the program and forces
     # relayouts. Kept as a measured, tested option.
+    # (A third variant was measured and rejected: im2col — 49 strided-slice
+    # taps concatenated into a [B,H/2,W/2,49C] patch tensor + one GEMM —
+    # benches 5.2 vs 1.12 ms/frame for the whole encoder at 640x480 B=1;
+    # stride-2 slices across the lane dimension relayout per tap.)
     s2d_stem: bool = False
 
     @property

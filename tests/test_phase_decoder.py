@@ -92,7 +92,7 @@ def test_s2d_stem_equals_standard(rng):
     from deep_visual_slam_tpu.models.resnet import ResNetEncoder
 
     for cin_imgs in (1, 2):
-        std = ResNetEncoder(num_input_images=cin_imgs, s2d_stem=False)
+        std = ResNetEncoder(num_input_images=cin_imgs)
         s2d = ResNetEncoder(num_input_images=cin_imgs, s2d_stem=True)
         x = jnp.asarray(
             rng.uniform(size=(2, 64, 96, 3 * cin_imgs)).astype(np.float32)
