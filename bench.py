@@ -89,18 +89,18 @@ def main() -> None:
     frames = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
     prev = jnp.asarray(rng.uniform(size=(B, H, W, 3)).astype(np.float32))
 
+    from deep_visual_slam_tpu.models.fused_vo import make_fused_vo_apply
+
+    fused_apply = make_fused_vo_apply(depth_model, pose_model)
+
     def vo_frame(carry, _):
         world_T, frame, prev_frame = carry
-        disps = depth_model.apply(
+        disps, (aa, t) = fused_apply(
             {"params": params["depth"], "batch_stats": stats["depth"]},
-            frame, train=False,
+            {"params": params["pose"], "batch_stats": stats["pose"]},
+            frame, prev_frame,
         )
         _, depth = disp_to_depth(disps[("disp", 0)], 0.1, 10.0)
-        pair = jnp.concatenate([frame, prev_frame], axis=-1)
-        aa, t = pose_model.apply(
-            {"params": params["pose"], "batch_stats": stats["pose"]},
-            pair, train=False,
-        )
         T = transformation_from_parameters(aa[:, 0, 0], t[:, 0, 0])
         world_T = world_T @ T
         # Feed the depth back so the chain can't be dead-code-eliminated.

@@ -360,14 +360,14 @@ class DepthNet(nn.Module):
     phase_fused: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stem_out=None):
         features = ResNetEncoder(
             num_layers=self.num_layers,
             num_input_images=1,
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             name="encoder",
-        )(x, train=train)
+        )(x, train=train, stem_out=stem_out)
         return DepthDecoder(
             scales=self.scales,
             num_output_channels=self.num_output_channels,

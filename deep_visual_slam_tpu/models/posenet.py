@@ -31,7 +31,7 @@ class PoseNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, train: bool = False
+        self, x, train: bool = False, stem_out=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         features = ResNetEncoder(
             num_layers=self.num_layers,
@@ -39,7 +39,7 @@ class PoseNet(nn.Module):
             dtype=self.dtype,
             bn_axis_name=self.bn_axis_name,
             name="encoder",
-        )(x, train=train)
+        )(x, train=train, stem_out=stem_out)
         out = features[-1]
 
         conv = lambda f, k, name: nn.Conv(  # noqa: E731

@@ -183,7 +183,14 @@ class ResNetEncoder(nn.Module):
         return base
 
     @nn.compact
-    def __call__(self, x, train: bool = False) -> Sequence[jnp.ndarray]:
+    def __call__(
+        self, x, train: bool = False, stem_out=None
+    ) -> Sequence[jnp.ndarray]:
+        """``stem_out`` optionally injects a precomputed pre-BN stem conv
+        output [B, H/2, W/2, 64] (see ``models/fused_vo.py``: the VO
+        inference path merges the depth and pose stems into one conv over
+        the shared 6-channel pair); normalization and the stem conv are then
+        skipped, everything from the stem BN onward runs normally."""
         if self.num_layers not in STAGE_SIZES:
             raise ValueError(f"{self.num_layers} is not a valid resnet depth")
         block = BasicBlock if self.num_layers <= 34 else BottleneckBlock
@@ -202,7 +209,9 @@ class ResNetEncoder(nn.Module):
         x = (x.astype(self.dtype) - 0.45) / 0.225
 
         features = []
-        if self.s2d_stem:
+        if stem_out is not None:
+            x = stem_out.astype(self.dtype)
+        elif self.s2d_stem:
             import jax
             from deep_visual_slam_tpu.ops.warp import space_to_depth2
 

@@ -68,12 +68,25 @@ class Networks:
             aa, t = self.pose_model.apply(self._pv, pair, train=False)
             return transformation_from_parameters(aa[:, 0, 0], t[:, 0, 0])
 
+        from deep_visual_slam_tpu.models.fused_vo import make_fused_vo_apply
+
+        # Merged-stem fused inference (models/fused_vo.py): depth on cur,
+        # pose on the (prev, cur) pair, both stems as one conv.
+        _fused = make_fused_vo_apply(
+            self.depth_model, self.pose_model, depth_on="second"
+        )
+
         @jax.jit
         def _step(prev_img, cur_img):
             # Fused depth+pose: ONE device dispatch per SLAM frame instead of
             # two — halves the per-frame RPC overhead of a remote/tunnelled
             # chip and lets XLA overlap the two networks.
-            return _depth(cur_img), _pose(prev_img, cur_img)
+            disps, (aa, t) = _fused(self._dv, self._pv, prev_img, cur_img)
+            _, depth = disp_to_depth(
+                disps[("disp", 0)], self.min_depth, self.max_depth
+            )
+            T = transformation_from_parameters(aa[:, 0, 0], t[:, 0, 0])
+            return depth[..., 0], T
 
         self._depth_fn = _depth
         self._pose_fn = _pose
