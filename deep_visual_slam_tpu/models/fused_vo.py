@@ -15,6 +15,14 @@ channels occupies outputs 0..63, the pose kernel outputs 64..127. One input
 copy, one (latency-bound) conv; each encoder then resumes from its stem
 BatchNorm via the ``stem_out`` injection point. Exact same math and
 parameters as the separate applies (parity-tested).
+
+(A streaming refinement was measured and rejected: carrying the pose stem's
+previous-frame half across frames — by linearity, one [7,7,3,192] conv of
+the current frame per step plus a carried [B,240,320,64] tensor — benches
+346 vs 411 FPS: XLA's conv strategy for 3-channel inputs is ~2.5x slower
+per output channel than the 6-channel form, and the 9.8 MB loop carry adds
+relayouts, so splitting the pair conv loses more than the saved input
+copy.)
 """
 
 from __future__ import annotations
