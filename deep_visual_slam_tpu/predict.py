@@ -61,12 +61,16 @@ def main() -> None:
     pv = {"params": variables["params"]["pose"],
           "batch_stats": variables["batch_stats"]["pose"]}
 
+    from deep_visual_slam_tpu.models.fused_vo import make_fused_vo_apply
+
+    # Merged-stem fused inference (models/fused_vo.py): depth on target,
+    # pose on the (target, source_right) pair — reference vo/predict.py:72.
+    fused = make_fused_vo_apply(depth_model, pose_model, depth_on="first")
+
     @jax.jit
     def step(target, source_right, inv_K):
-        disps = depth_model.apply(dv, target, train=False)
+        disps, (aa, tr) = fused(dv, pv, target, source_right)
         _, depth = disp_to_depth(disps[("disp", 0)], t["min_depth"], t["max_depth"])
-        pair = jnp.concatenate([target, source_right], axis=-1)
-        aa, tr = pose_model.apply(pv, pair, train=False)
         T = transformation_from_parameters(aa[:, 0, 0], tr[:, 0, 0])
         points = backproject(depth[..., 0], inv_K)
         return depth[..., 0], T, points
