@@ -43,6 +43,13 @@ def make_fused_vo_apply(depth_model, pose_model, depth_on: str = "first"):
     Inference only (``train=False``)."""
     if depth_on not in ("first", "second"):
         raise ValueError(f"depth_on must be 'first' or 'second': {depth_on}")
+    if pose_model.dtype != depth_model.dtype:
+        # The shared stem runs in one dtype; mixed-precision pairs would
+        # silently change the pose stem's precision vs a separate apply.
+        raise ValueError(
+            "fused VO inference requires matching compute dtypes: "
+            f"depth={depth_model.dtype}, pose={pose_model.dtype}"
+        )
     dtype = depth_model.dtype
 
     def apply(depth_vars, pose_vars, first, second):

@@ -206,15 +206,16 @@ class ResNetEncoder(nn.Module):
                 axis_name=self.bn_axis_name if train else None,
             )
 
-        x = (x.astype(self.dtype) - 0.45) / 0.225
-
         features = []
         if stem_out is not None:
+            # stem_out carries the pre-BN stem conv output of the already-
+            # normalized input (models/fused_vo.py); the image is unused.
             x = stem_out.astype(self.dtype)
         elif self.s2d_stem:
             import jax
             from deep_visual_slam_tpu.ops.warp import space_to_depth2
 
+            x = (x.astype(self.dtype) - 0.45) / 0.225
             W = _StemParams(x.shape[-1], name="Conv_0")()
             K = _s2d_stem_kernel(W)
             x = jax.lax.conv_general_dilated(
@@ -225,6 +226,7 @@ class ResNetEncoder(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         else:
+            x = (x.astype(self.dtype) - 0.45) / 0.225
             x = _conv(64, 7, 2, self.dtype)(x)
         x = norm()(x)
         x = nn.relu(x)

@@ -53,7 +53,11 @@ def init_distributed(
     )
 
     if coordinator_address is None and num_processes in (None, 1):
-        if _looks_multihost_tpu():
+        # Pod auto-detection only when NOTHING was requested explicitly:
+        # num_processes=1 (arg or JAX_NUM_PROCESSES=1) is an explicit
+        # single-process request and must stay a no-op even on a pod
+        # worker (resolution order: explicit args > environment).
+        if num_processes is None and _looks_multihost_tpu():
             # Cloud-TPU pod slice with no explicit flags: let
             # jax.distributed.initialize() auto-detect coordinator/world
             # size from the TPU environment (the normal multi-host flow).

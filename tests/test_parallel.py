@@ -141,38 +141,73 @@ def test_shard_batch_places_on_data_axis(mesh):
     assert shard_shapes == {(2, 3)}
 
 
-def test_train_step_on_2d_mesh(cpu_devices):
-    """The reserved model axis composes: a (data=4, model=2) mesh runs the
+_TRAIN_2D_MESH_BODY = """
+import jax, numpy as np, jax.numpy as jnp
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+from deep_visual_slam_tpu.data.synthetic import synthetic_vo_batch
+from deep_visual_slam_tpu.models import DepthNet, PoseNet
+from deep_visual_slam_tpu.parallel import make_mesh, replicate, shard_batch
+from deep_visual_slam_tpu.training import (
+    TrainState, VOLossConfig, init_vo_models, make_optimizer,
+    make_vo_train_step,
+)
+
+mesh2d = make_mesh(
+    jax.devices("cpu")[:4], data_parallel=2, model_parallel=2
+)
+dm, pm = DepthNet(dtype=jnp.float32), PoseNet(dtype=jnp.float32)
+v = init_vo_models(dm, pm, (64, 96), jax.random.PRNGKey(0))
+state = TrainState.create(v["params"], v["batch_stats"], make_optimizer(1e-4, 10))
+state = state.replace(
+    params=replicate(state.params, mesh2d),
+    batch_stats=replicate(state.batch_stats, mesh2d),
+    opt_state=replicate(state.opt_state, mesh2d),
+)
+step = make_vo_train_step(dm, pm, VOLossConfig(), mesh=mesh2d)
+batch, _ = synthetic_vo_batch(0, 4, 64, 96)
+batch = shard_batch(batch, mesh2d)
+state, losses = step(state, batch, jax.random.PRNGKey(1))
+assert np.isfinite(float(losses["loss"]))
+assert int(np.asarray(state.step)) == 1
+print("2DMESH_OK")
+"""
+
+
+def test_train_step_on_2d_mesh():
+    """The reserved model axis composes: a (data=2, model=2) mesh runs the
     full VO train step with batch sharded over 'data' and params replicated
     (GSPMD keeps gradient reductions on the data axis; the model axis is
-    ready for tensor-parallel shardings without API changes)."""
-    import jax.numpy as jnp
+    ready for tensor-parallel shardings without API changes).
 
-    from deep_visual_slam_tpu.data.synthetic import synthetic_vo_batch
-    from deep_visual_slam_tpu.models import DepthNet, PoseNet
-    from deep_visual_slam_tpu.training import (
-        TrainState,
-        VOLossConfig,
-        init_vo_models,
-        make_optimizer,
-        make_vo_train_step,
-    )
+    Runs in a FRESH subprocess with one retry: XLA:CPU collectives
+    rendezvous one thread per virtual device with a hard 40 s termination
+    timeout (rendezvous.cc F-check -> SIGABRT); on this single-core host a
+    loaded machine can starve participants of a collective-permute past
+    the timeout (reproduced with test_phase_decoder.py preceding this test
+    in one process; the identical program passes on an idle core). Runtime
+    scheduling flake, not repo logic — the mesh is kept at 4 devices and
+    the rendezvous-timeout signature is retried once.
+    """
+    import os
+    import subprocess
+    import sys
 
-    mesh2d = make_mesh(cpu_devices[:8], data_parallel=4, model_parallel=2)
-    dm, pm = DepthNet(dtype=jnp.float32), PoseNet(dtype=jnp.float32)
-    v = init_vo_models(dm, pm, (64, 96), jax.random.PRNGKey(0))
-    state = TrainState.create(v["params"], v["batch_stats"], make_optimizer(1e-4, 10))
-    state = state.replace(
-        params=replicate(state.params, mesh2d),
-        batch_stats=replicate(state.batch_stats, mesh2d),
-        opt_state=replicate(state.opt_state, mesh2d),
-    )
-    step = make_vo_train_step(dm, pm, VOLossConfig(), mesh=mesh2d)
-    batch, _ = synthetic_vo_batch(0, 4, 64, 96)
-    batch = shard_batch(batch, mesh2d)
-    state, losses = step(state, batch, jax.random.PRNGKey(1))
-    assert np.isfinite(float(losses["loss"]))
-    assert int(np.asarray(state.step)) == 1
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, "-c", _TRAIN_2D_MESH_BODY],
+            env=env, capture_output=True, text=True, timeout=1500,
+        )
+        if out.returncode == 0 or "rendezvous" not in out.stderr:
+            break
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "2DMESH_OK" in out.stdout
 
 
 def test_looks_multihost_tpu_detection(monkeypatch):
@@ -195,3 +230,22 @@ def test_looks_multihost_tpu_detection(monkeypatch):
     assert not _looks_multihost_tpu()
     monkeypatch.setenv("DVS_DISTRIBUTED", "1")
     assert _looks_multihost_tpu()
+
+
+def test_explicit_single_process_overrides_pod_detection(monkeypatch):
+    """init_distributed(num_processes=1) / JAX_NUM_PROCESSES=1 is an
+    explicit single-process request: it must stay a no-op even when the
+    environment looks like a pod slice (resolution order: explicit args >
+    environment)."""
+    import deep_visual_slam_tpu.parallel.distributed as dist
+
+    def boom(*a, **k):  # pragma: no cover - must never be called
+        raise AssertionError("jax.distributed.initialize called")
+
+    monkeypatch.setattr(dist.jax.distributed, "initialize", boom)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "h0,h1,h2,h3")
+    monkeypatch.setattr(dist, "_INITIALIZED", False)
+    assert dist.init_distributed(num_processes=1) == 1
+    monkeypatch.setattr(dist, "_INITIALIZED", False)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    assert dist.init_distributed() == 1
