@@ -16,9 +16,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_timeout_seconds" not in flags:
+    # XLA:CPU collectives rendezvous one thread per virtual device and
+    # F-check (silent SIGABRT) after a timeout; a loaded single-core host
+    # can starve a collective past it. Give slow-but-progressing
+    # rendezvous time to finish instead of killing the process. (This is
+    # the only collective-timeout flag REGISTERED for XLA_FLAGS in this
+    # jaxlib; the xla_cpu_collective_call_* pair exists in DebugOptions
+    # but an unknown name in XLA_FLAGS is itself a fatal error.)
+    flags += " --xla_cpu_collective_timeout_seconds=900"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
