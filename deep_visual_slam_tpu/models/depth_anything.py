@@ -11,13 +11,13 @@ model, SURVEY.md §2.1):
   - intermediate layer indices per variant (``dpt.py:164-169``).
 
 TPU-native: NHWC; attention uses ``jax.nn.dot_product_attention`` (fused on
-TPU); variable input sizes handled by bilinear pos-embed interpolation.
+TPU); variable input sizes handled by torch-exact bicubic pos-embed
+resampling (a=-0.75, +0.1 offset scale — ``ops.warp.resize_bicubic_torch``),
+so converted checkpoints match the torch reference at EVERY input size.
 
-Checkpoint compatibility (``utils.torch_weights.convert_depth_anything``):
-numerically exact vs the torch reference except for ONE documented
-divergence — DINOv2 resamples position embeddings bicubically (torch
-a=-0.75) while this model resamples bilinearly; at the native 518x518 grid
-there is no resampling and the models agree exactly.
+Checkpoint compatibility: ``utils.torch_weights.convert_depth_anything``;
+parity tests at the native 518 grid and off-grid sizes in
+``tests/test_convert_da.py``.
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from deep_visual_slam_tpu.ops.warp import (
-    resize_bilinear,
+    resize_bicubic_torch,
     resize_bilinear_align_corners,
 )
 
@@ -139,7 +139,13 @@ class DINOv2(nn.Module):
         cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
         if (ph, pw) != (base, base):
             grid = patch_pos.reshape(1, base, base, self.embed_dim)
-            grid = resize_bilinear(grid, ph, pw)
+            # Torch-exact DINOv2 resample: bicubic (a=-0.75), scale carries
+            # the +0.1 anti-FP-error offset (dinov2.py:194-205). Exact at
+            # EVERY input size, not just the native 518 grid.
+            grid = resize_bicubic_torch(
+                grid, ph, pw,
+                scale_h=(ph + 0.1) / base, scale_w=(pw + 0.1) / base,
+            )
             patch_pos = grid.reshape(1, ph * pw, self.embed_dim)
         x = x + patch_pos
         cls_tok = jnp.broadcast_to(cls + cls_pos, (B, 1, self.embed_dim))

@@ -119,6 +119,66 @@ def resize_bilinear_align_corners(
     return grid_sample(image, grid, align_corners=True, padding_mode="border")
 
 
+def _cubic_weights_1d(
+    in_size: int, out_size: int, scale: float, a: float = -0.75
+):
+    """Dense [out_size, in_size] torch-bicubic interpolation matrix
+    (align_corners=False, no antialias, border-replicated taps).
+
+    Matches ``F.interpolate(mode="bicubic")`` given an EXPLICIT scale factor
+    (torch maps ``src = (dst + 0.5) / scale - 0.5`` with the passed scale when
+    ``recompute_scale_factor`` is off — DINOv2 passes the 0.1-offset scale,
+    reference ``model/depth_anything_v2/dinov2.py:194-205``). Keys-kernel
+    coefficient ``a`` = torch's -0.75. Built in numpy at trace time (static
+    shapes); applied as a matmul, which the MXU eats for free at pos-embed
+    grid sizes.
+    """
+    import numpy as _np
+
+    dst = _np.arange(out_size, dtype=_np.float64)
+    src = (dst + 0.5) / scale - 0.5
+    i0 = _np.floor(src).astype(_np.int64)
+    t = src - i0
+
+    def k(x):
+        x = _np.abs(x)
+        return _np.where(
+            x <= 1.0,
+            (a + 2.0) * x**3 - (a + 3.0) * x**2 + 1.0,
+            _np.where(x < 2.0, a * (x**3 - 5.0 * x**2 + 8.0 * x - 4.0), 0.0),
+        )
+
+    W = _np.zeros((out_size, in_size), _np.float64)
+    for tap in range(-1, 3):
+        idx = _np.clip(i0 + tap, 0, in_size - 1)
+        w = k(t - tap)
+        _np.add.at(W, (dst.astype(_np.int64), idx), w)
+    return W.astype(_np.float32)
+
+
+def resize_bicubic_torch(
+    image: jnp.ndarray,
+    height: int,
+    width: int,
+    scale_h: float = None,
+    scale_w: float = None,
+) -> jnp.ndarray:
+    """[B, H, W, C] bicubic resize, exactly torch ``F.interpolate(
+    mode="bicubic", align_corners=False, antialias=False)``.
+
+    ``scale_h``/``scale_w`` override the coordinate-mapping scale (torch's
+    explicit-scale_factor path); default is ``out / in``. Separable dense
+    matmuls — exact, and ideal MXU work at the small grids this serves
+    (DINOv2 position embeddings, ≤ 37x37)."""
+    B, H, W, C = image.shape
+    if H == height and W == width and scale_h is None and scale_w is None:
+        return image
+    Wh = jnp.asarray(_cubic_weights_1d(H, height, scale_h or height / H))
+    Ww = jnp.asarray(_cubic_weights_1d(W, width, scale_w or width / W))
+    x = jnp.einsum("oh,bhwc->bowc", Wh, image.astype(jnp.float32))
+    return jnp.einsum("ow,bhwc->bhoc", Ww, x).astype(image.dtype)
+
+
 def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
     """[B, 2h, 2w, C] -> [B, h, w, 4C]; channel block = phase py*2+px.
 

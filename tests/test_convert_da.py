@@ -2,9 +2,10 @@
 
 Hand-built reference-architecture torch DA-V2 (vits): DINOv2 ViT with
 LayerScale + exact GELU + eps=1e-6 LayerNorms, DPT head with ConvTranspose
-resizes and corner-aligned fusion interpolation. The one documented
-divergence (bicubic vs bilinear pos-embed resampling) is neutralized here by
-using bilinear in the torch model too; everything else must match to 1e-4."""
+resizes and corner-aligned fusion interpolation. Position embeddings are
+resampled exactly as upstream DINOv2 does (bicubic a=-0.75 with the +0.1
+offset scale, ``dinov2.py:194-205``), so parity holds at non-native input
+sizes too — everything must match to 1e-4."""
 
 import numpy as np
 import torch
@@ -132,8 +133,13 @@ class TDepthAnything(nn.Module):
         pos = pre.pos_embed
         cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
         grid = patch_pos.reshape(1, 37, 37, DIM).permute(0, 3, 1, 2)
-        grid = F.interpolate(grid, size=(ph, pw), mode="bilinear",
-                             align_corners=False)
+        # Exactly DINOv2's interpolate_pos_encoding: bicubic with the
+        # +0.1-offset explicit scale factor (reference dinov2.py:194-205).
+        grid = F.interpolate(
+            grid, scale_factor=((ph + 0.1) / 37, (pw + 0.1) / 37),
+            mode="bicubic", antialias=False,
+        )
+        assert grid.shape[-2:] == (ph, pw)
         patch_pos = grid.permute(0, 2, 3, 1).reshape(1, ph * pw, DIM)
         t = t + patch_pos
         cls_tok = (pre.cls_token + cls_pos).expand(B, -1, -1)
@@ -175,7 +181,9 @@ def test_depth_anything_full_parity(rng):
     variables = convert_depth_anything(sd, "vits")
     fmodel = DepthAnythingV2(encoder="vits", max_depth=20.0)
 
-    H = W = 4 * PATCH  # 56x56 -> 4x4 patch grid
+    # Non-square, off the 37x37 native grid -> exercises the bicubic
+    # pos-embed resample on BOTH axes with distinct scales.
+    H, W = 4 * PATCH, 6 * PATCH  # 56x84 -> 4x6 patch grid
     x = rng.uniform(size=(1, H, W, 3)).astype(np.float32)
 
     depth_flax = np.asarray(fmodel.apply(variables, jnp.asarray(x)))
