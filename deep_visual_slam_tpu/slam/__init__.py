@@ -1,4 +1,5 @@
-"""SLAM backend: ORB frontend + keyframe map + JAX photometric BA."""
+"""SLAM backend: device KLT / host ORB frontends + keyframe map + JAX
+photometric BA."""
 
 from deep_visual_slam_tpu.slam.ba import BAProblem, photometric_ba
 from deep_visual_slam_tpu.slam.frontend import (
@@ -8,6 +9,7 @@ from deep_visual_slam_tpu.slam.frontend import (
     match_descriptors,
     match_frame_kps,
 )
+from deep_visual_slam_tpu.slam.klt_frontend import KLTFrontend
 from deep_visual_slam_tpu.slam.map import Map
 from deep_visual_slam_tpu.slam.monovo import MonoVO, Networks
 
@@ -19,6 +21,7 @@ __all__ = [
     "extract_features",
     "match_descriptors",
     "match_frame_kps",
+    "KLTFrontend",
     "Map",
     "MonoVO",
     "Networks",

@@ -74,10 +74,17 @@ class Map:
         """
         key_frame = frame.id == 0 or self.check_key_frame(frame, match_from_prev)
         if key_frame:
-            self.keyframes.append(frame)
+            self.register_keyframe(frame)
+        return key_frame
+
+    def register_keyframe(self, frame: Frame) -> None:
+        """Append a frame to the keyframe window and flag the head for
+        marginalization when full — the policy-independent half of
+        ``check_add_key_frame`` (also used by the KLT frontend, whose
+        keyframe score comes from tracked displacements, not matching)."""
+        self.keyframes.append(frame)
         if len(self.keyframes) >= self.num_kf:
             self.keyframes[0].marginalize = True
-        return key_frame
 
     def check_key_frame(self, frame: Frame, match_from_prev=None) -> bool:
         """Score ``0.6 * f + 0.4 * ft > 1`` (reference ``:59-97``):

@@ -129,7 +129,17 @@ class Networks:
 
 
 class MonoVO:
-    """Full monocular SLAM loop (reference ``slam/MonoVO.py:15-72``)."""
+    """Full monocular SLAM loop (reference ``slam/MonoVO.py:15-72``).
+
+    ``frontend``:
+      - ``"klt"`` (default, TPU-native): device-side Shi-Tomasi + pyramidal
+        Lucas-Kanade tracking fused into the SAME XLA dispatch as the
+        depth/pose networks (``slam/klt_frontend.py``) — zero per-frame host
+        vision work. This removes the reference's CPU wall (serial ORB+KNN,
+        ~170 ms/frame on a 1-core host, ``/root/reference/slam/frontend.py``).
+      - ``"orb"``: the reference-parity host path (ORB + Lowe KNN), overlapped
+        with an async network dispatch.
+    """
 
     def __init__(
         self,
@@ -138,6 +148,7 @@ class MonoVO:
         image_shape: Tuple[int, int] = (480, 640),
         num_kf: int = 7,
         max_points: int = 256,
+        frontend: str = "klt",
     ):
         self.intrinsic = np.asarray(intrinsic)
         self.mp = Map(num_kf=num_kf, max_points=max_points)
@@ -146,8 +157,83 @@ class MonoVO:
         self.timings = {"networks": 0.0, "frontend": 0.0, "backend_ba": 0.0}
         self.n_keyframes = 0
         self._prev_dev = None  # previous frame, already on device
+        if frontend not in ("klt", "orb"):
+            raise ValueError(f"unknown frontend {frontend!r} (klt|orb)")
+        self.frontend_kind = frontend
+        if frontend == "klt":
+            from deep_visual_slam_tpu.slam.klt_frontend import KLTFrontend
+
+            self.klt: Optional[KLTFrontend] = KLTFrontend(
+                self.nn, image_shape, max_tracks=max_points
+            )
+        else:
+            self.klt = None
 
     def process_frame(self, frame: np.ndarray, optimize: bool = True):
+        """Run one RGB frame ([H, W, 3] float [0,1]) through the pipeline.
+
+        Dispatches on the configured frontend; both paths share the Map
+        backend (windowed photometric BA) and return
+        ``(depth, uncertainty, pose_global, a, b)``.
+        """
+        if self.klt is not None:
+            return self._process_frame_klt(frame, optimize)
+        return self._process_frame_orb(frame, optimize)
+
+    # ------------------------------------------------------------ KLT path
+    def _process_frame_klt(self, frame: np.ndarray, optimize: bool):
+        """TPU-native per-frame step: ONE fused device dispatch computes
+        depth + relative pose + LK track updates; the host only does pose
+        composition and Frame/Point bookkeeping (microseconds). Keyframe
+        decisions use the reference score computed from tracked
+        displacements — no descriptors, no matching."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        cur_dev = self.nn.to_device(frame)
+        first = len(self.mp.frames) == 0
+        if first:
+            depth = self.nn.depth(frame)
+            pose_global = np.eye(4)
+            self.klt.init_first(cur_dev)
+        else:
+            depth, rel = self.klt.step(self._prev_dev, cur_dev)
+            pose_global = rel @ self.mp.frames[-1].pose
+        self._prev_dev = cur_dev
+        uncertainty = np.zeros_like(depth)
+        a, b = 1.0, 0.0
+        t1 = _time.perf_counter()
+        self.timings["networks"] += t1 - t0
+
+        f = Frame(
+            self.mp, np.asarray(frame), depth, uncertainty, pose_global,
+            (a, b), features=(self.klt.kps_int(), None),
+        )
+        if first:
+            is_kf = True
+        else:
+            score = self.klt.keyframe_score(
+                pose_global, self.mp.keyframes[-1].pose
+            )
+            is_kf = score is None or score > 1.0
+        if is_kf:
+            self.mp.register_keyframe(f)
+            self.klt.register_keyframe(self.mp, f)
+        self.mp.register_device_image(f.id, cur_dev[0])
+        t2 = _time.perf_counter()
+        self.timings["frontend"] += t2 - t1
+        if not is_kf:
+            return depth, uncertainty, f.pose, a, b
+
+        self.n_keyframes += 1
+        if optimize and not first:
+            self.mp.optimize(self.intrinsic)
+            self.klt.drop_dead_points()
+            self.timings["backend_ba"] += _time.perf_counter() - t2
+        return depth, uncertainty, f.pose, a, b
+
+    # ------------------------------------------------------------ ORB path
+    def _process_frame_orb(self, frame: np.ndarray, optimize: bool = True):
         """Run one RGB frame ([H, W, 3] float [0,1]) through the pipeline.
 
         The host frontend (ORB + KNN matching, the classical CPU cost of a

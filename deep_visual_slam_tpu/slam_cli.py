@@ -86,6 +86,11 @@ def main() -> None:
     parser.add_argument("--max_frames", type=int, default=0)
     parser.add_argument("--global_ba", action="store_true")
     parser.add_argument("--depth_video", action="store_true")
+    parser.add_argument(
+        "--frontend", choices=("klt", "orb"), default="klt",
+        help="klt: device-side tracking fused with the nets (TPU-native "
+        "default); orb: reference-parity host ORB+KNN",
+    )
     args = parser.parse_args()
 
     import cv2
@@ -103,7 +108,7 @@ def main() -> None:
         parser.error(f"--input path does not exist: {args.input}")
 
     os.makedirs(args.output, exist_ok=True)
-    vo = MonoVO(K, image_shape=(H, W))
+    vo = MonoVO(K, image_shape=(H, W), frontend=args.frontend)
 
     writer = None
     if args.depth_video:

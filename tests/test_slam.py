@@ -73,7 +73,9 @@ def test_map_keyframe_policy(rng):
 
 
 def test_monovo_pipeline_runs(rng):
-    """Full SLAM loop over a synthetic translating sequence (untrained nets)."""
+    """Full SLAM loop over a synthetic translating sequence (untrained nets),
+    reference-parity ORB frontend (the KLT default is covered in
+    tests/test_klt.py)."""
     from deep_visual_slam_tpu.data.synthetic import default_intrinsics
 
     import jax.numpy as jnp
@@ -85,6 +87,7 @@ def test_monovo_pipeline_runs(rng):
         image_shape=(H, W),
         num_kf=4,
         max_points=64,
+        frontend="orb",
     )
     base = _textured_image(rng)
     for i in range(6):
