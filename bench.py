@@ -16,6 +16,7 @@ steps inside one jitted scan before synchronizing.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -25,13 +26,112 @@ import numpy as np
 BASELINE_FPS = 60.0  # north-star: >= 60 FPS/chip (BASELINE.md)
 
 
-def slam_bench(n_frames: int = 48, warmup: int = 10) -> None:
-    """Time the FULL SLAM loop — ``MonoVO.process_frame`` (fused depth+pose
-    dispatch, ORB extraction, matching, keyframe policy, jitted windowed BA)
-    — over a synthetic textured 640x480 sequence, with the per-stage split.
+def _sync_scalar(x) -> float:
+    """Force a REAL device sync by fetching one scalar (on the axon tunnel,
+    ``block_until_ready`` returns before remote execution finishes)."""
+    return float(np.asarray(x).reshape(-1)[0])
 
-    This is the reference per-frame pipeline ``slam/MonoVO.py:15-38``; the
-    default bench mode times only the network stack.
+
+def _klt_device_components(vo, frames) -> dict:
+    """Per-frame DEVICE time of each KLT-SLAM component, measured by chaining
+    dependent dispatches inside one jitted scan (one sync amortizes the
+    tunnel round-trip over the whole chain; on a locally attached chip the
+    result IS the device time). Used for the local-chip FPS model."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_visual_slam_tpu.ops.klt import rgb_to_gray, shi_tomasi_corners
+    from deep_visual_slam_tpu.slam.ba import photometric_ba
+
+    fe = vo.klt
+    N = len(frames)
+    frames_dev = jnp.asarray(np.stack(frames))[:, None]  # [N, 1, H, W, 3]
+
+    # 1) fused net + LK-track step (the every-frame dispatch).
+    def step_body(carry, cur):
+        prev, pyr, uv, alive = carry
+        depth, T, pyr2, uv2, ok = fe._step_fn(prev, pyr, cur, uv, alive)
+        return (cur, pyr2, uv2, ok), (T[:, 0, 3], depth.mean())
+
+    @jax.jit
+    def run_steps(c, xs):
+        c, ys = jax.lax.scan(step_body, c, xs)
+        return ys[1][-1]
+
+    init = (
+        frames_dev[0], fe._pyramid_fn(frames_dev[0]), fe._uv_dev, fe._alive_dev
+    )
+    _sync_scalar(run_steps(init, frames_dev))  # compile
+    t0 = time.perf_counter()
+    _sync_scalar(run_steps(init, frames_dev))
+    step_ms = (time.perf_counter() - t0) / N * 1000
+
+    # 2) Shi-Tomasi detection (keyframes only).
+    gray = rgb_to_gray(frames_dev[0, 0])
+    R = 16
+
+    def det_body(carry, _):
+        pts, score = shi_tomasi_corners(
+            gray + 0.0 * carry, fe.P, nms_radius=fe.nms_radius,
+            occupied_uv=fe._uv_dev, occupied_mask=fe._alive_dev,
+        )
+        return score.sum(), None
+
+    @jax.jit
+    def run_det(c):
+        c, _ = jax.lax.scan(det_body, c, None, length=R)
+        return c
+
+    _sync_scalar(run_det(jnp.zeros(())))
+    t0 = time.perf_counter()
+    _sync_scalar(run_det(jnp.zeros(())))
+    detect_ms = (time.perf_counter() - t0) / R * 1000
+
+    # 3) windowed photometric BA (keyframes only), on the final real window.
+    vo.mp.flush_ba()
+    built = vo.mp._build_problem(
+        vo.intrinsic, vo.mp.keyframes[-vo.mp.num_kf:], vo.mp.max_points,
+        pad_frames=vo.mp.num_kf,
+    )
+    ba_ms = None
+    if built is not None:
+        problem, _ = built
+
+        def ba_body(carry, _):
+            p = problem._replace(poses=problem.poses + 0.0 * carry)
+            poses, depths, diag = photometric_ba(p, num_iters=6)
+            return poses.sum(), None
+
+        @jax.jit
+        def run_ba(c):
+            c, _ = jax.lax.scan(ba_body, c, None, length=R)
+            return c
+
+        _sync_scalar(run_ba(jnp.zeros(())))
+        t0 = time.perf_counter()
+        _sync_scalar(run_ba(jnp.zeros(())))
+        ba_ms = (time.perf_counter() - t0) / R * 1000
+
+    return {"step_ms": step_ms, "detect_ms": detect_ms, "ba_ms": ba_ms}
+
+
+def slam_bench(
+    n_frames: int = 48,
+    warmup: int = 10,
+    frontend: str = "klt",
+    fetch_depth: bool = True,
+    out_json: str = "docs/bench_slam_r03.json",
+) -> None:
+    """Time the FULL SLAM loop — ``MonoVO.process_frame`` (fused depth+pose+
+    track dispatch, keyframe policy, jitted windowed BA; or the
+    reference-parity ORB path) — over a synthetic textured 640x480 sequence.
+
+    Reports the measured end-to-end tunnel number with the per-stage split,
+    and (KLT) a local-chip FPS model built from chained-dispatch DEVICE
+    times: the tunnel adds ~50-100 ms of RPC per forced sync, which a
+    locally attached chip does not pay, so
+    ``local_ms = step + host + kf_rate * (detect + ba)``.
+    The full record is written to ``out_json`` (durable artifact).
     """
     from deep_visual_slam_tpu.data.synthetic import (
         default_intrinsics,
@@ -41,7 +141,10 @@ def slam_bench(n_frames: int = 48, warmup: int = 10) -> None:
 
     H, W = 480, 640
     frames, K, _ = synthetic_slam_sequence(n_frames + warmup, H, W, seed=0)
-    vo = MonoVO(default_intrinsics(H, W), image_shape=(H, W))
+    vo = MonoVO(
+        default_intrinsics(H, W), image_shape=(H, W), frontend=frontend,
+        fetch_depth=fetch_depth,
+    )
 
     for f in frames[:warmup]:  # compiles the fused net step + the BA program
         vo.process_frame(f)
@@ -55,19 +158,40 @@ def slam_bench(n_frames: int = 48, warmup: int = 10) -> None:
 
     fps = n_frames / elapsed
     stage_ms = {k: round(v / n_frames * 1000, 2) for k, v in vo.timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": "slam_e2e_fps_per_chip_640x480",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "per_frame_ms": stage_ms,
-                "keyframes": vo.n_keyframes - kf_before,
-                "frames": n_frames,
-            }
+    kf = vo.n_keyframes - kf_before
+    record = {
+        "metric": f"slam_e2e_fps_per_chip_640x480_{frontend}",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "per_frame_ms": stage_ms,
+        "keyframes": kf,
+        "frames": n_frames,
+        "fetch_depth": fetch_depth,
+    }
+
+    if frontend == "klt":
+        dev = _klt_device_components(vo, frames[warmup:])
+        kf_rate = kf / n_frames
+        host_ms = stage_ms["frontend"]
+        local_ms = (
+            dev["step_ms"] + host_ms
+            + kf_rate * (dev["detect_ms"] + (dev["ba_ms"] or 0.0))
         )
-    )
+        record["device_ms"] = {k: None if v is None else round(v, 3)
+                               for k, v in dev.items()}
+        record["keyframe_rate"] = round(kf_rate, 3)
+        record["local_chip_model"] = {
+            "ms_per_frame": round(local_ms, 3),
+            "fps": round(1000.0 / local_ms, 1),
+            "formula": "step + host_frontend + kf_rate*(detect + ba)",
+        }
+
+    print(json.dumps(record))
+    if out_json:
+        os.makedirs(os.path.dirname(out_json), exist_ok=True)
+        with open(out_json, "w") as f:
+            json.dump(record, f, indent=1)
 
 
 def main() -> None:
@@ -143,12 +267,24 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    import sys
+    import argparse
 
     from deep_visual_slam_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    if "--slam" in sys.argv:
-        slam_bench()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--slam", action="store_true",
+                    help="bench the full SLAM loop instead of the net stack")
+    ap.add_argument("--frontend", choices=("klt", "orb"), default="klt")
+    ap.add_argument("--frames", type=int, default=48)
+    ap.add_argument("--no_fetch_depth", action="store_true",
+                    help="skip the per-frame dense-depth D2H (KLT only)")
+    ap.add_argument("--out_json", default="docs/bench_slam_r03.json")
+    args = ap.parse_args()
+    if args.slam:
+        slam_bench(
+            n_frames=args.frames, frontend=args.frontend,
+            fetch_depth=not args.no_fetch_depth, out_json=args.out_json,
+        )
     else:
         main()

@@ -169,9 +169,10 @@ class Frame:
         self.id = map_.add_frame(self)
         self.image = np.asarray(image)
         # depth is mutated by the BA write-back; force a writable copy (a
-        # device array converted via asarray is read-only).
-        self.depth = np.array(depth)
-        self.uncertainty = np.asarray(uncertainty)
+        # device array converted via asarray is read-only). None = not
+        # fetched (lazy-depth non-keyframes, ``MonoVO(fetch_depth=False)``).
+        self.depth = None if depth is None else np.array(depth)
+        self.uncertainty = None if uncertainty is None else np.asarray(uncertainty)
         self.pose = np.asarray(pose, np.float64)  # global T_cw
         self.a, self.b = brightness_params
         self.marginalize = False

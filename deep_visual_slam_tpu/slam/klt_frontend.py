@@ -101,6 +101,9 @@ class KLTFrontend:
         self._pyramid_fn = _pyramid
         self._detect_fn = _detect
 
+        # Accumulated wall time spent in device corner detection (its own
+        # timing bucket: it runs only at keyframes, off the per-frame path).
+        self.detect_s = 0.0
         # Host-side track table.
         self.uv = np.zeros((self.P, 2), np.float32)
         self.alive = np.zeros(self.P, bool)
@@ -114,8 +117,13 @@ class KLTFrontend:
 
     # ------------------------------------------------------------- tracking
     def step(self, prev_img_dev, cur_img_dev):
-        """Fused net+track dispatch; returns (depth [H,W] np, T_rel [4,4] np)
-        and updates the device track state (host copies too)."""
+        """Fused net+track dispatch; returns (depth [1,H,W] DEVICE array,
+        T_rel [4,4] np) and updates the device track state (host copies too).
+
+        Only the small state crosses to the host here — the track table
+        (~2.5 KB) and the 4x4 pose; the dense depth map stays on device so
+        callers that don't need it per frame (keyframe-only BA, no depth
+        video) skip a megabyte-scale D2H transfer per frame."""
         depth, T, pyr, uv2, ok = self._step_fn(
             prev_img_dev, self._pyr, cur_img_dev, self._uv_dev, self._alive_dev
         )
@@ -126,7 +134,7 @@ class KLTFrontend:
         # table is mutated in-place by keyframe replenishment.
         self.uv = np.array(uv2)
         self.alive = np.array(ok)
-        return np.asarray(depth[0]), np.asarray(T[0], np.float64)
+        return depth, np.asarray(T[0], np.float64)
 
     def init_first(self, img_dev) -> None:
         """First frame: build the pyramid and fill the table by detection."""
@@ -187,10 +195,14 @@ class KLTFrontend:
         #    occupancy-suppressed by live tracks).
         dead = np.flatnonzero(~self.alive)
         if len(dead):
+            import time as _time
+
+            t0 = _time.perf_counter()
             pts, score = self._detect_fn(
                 self._pyr[0], self._uv_dev, self._alive_dev
             )
             pts, score = np.asarray(pts), np.asarray(score)
+            self.detect_s += _time.perf_counter() - t0
             fresh = np.flatnonzero(score > 0)
             for slot, det_i in zip(dead, fresh):
                 self.uv[slot] = pts[det_i]

@@ -149,17 +149,26 @@ class MonoVO:
         num_kf: int = 7,
         max_points: int = 256,
         frontend: str = "klt",
+        fetch_depth: bool = True,
     ):
         self.intrinsic = np.asarray(intrinsic)
         self.mp = Map(num_kf=num_kf, max_points=max_points)
         self.nn = networks or Networks(image_shape=image_shape)
         # Cumulative per-stage wall time (seconds) for `bench.py --slam`.
-        self.timings = {"networks": 0.0, "frontend": 0.0, "backend_ba": 0.0}
+        self.timings = {
+            "networks": 0.0, "frontend": 0.0, "detect": 0.0, "backend_ba": 0.0,
+        }
         self.n_keyframes = 0
         self._prev_dev = None  # previous frame, already on device
         if frontend not in ("klt", "orb"):
             raise ValueError(f"unknown frontend {frontend!r} (klt|orb)")
         self.frontend_kind = frontend
+        # fetch_depth=False (KLT path only) skips the per-frame dense-depth
+        # D2H transfer; depth is still fetched for keyframes (the BA problem
+        # reads host depth at point-host pixels) and ``process_frame``
+        # returns None for the other frames. The reference always returns
+        # depth (it renders it every frame); keep True for parity.
+        self.fetch_depth = fetch_depth
         if frontend == "klt":
             from deep_visual_slam_tpu.slam.klt_frontend import KLTFrontend
 
@@ -192,21 +201,23 @@ class MonoVO:
         t0 = _time.perf_counter()
         cur_dev = self.nn.to_device(frame)
         first = len(self.mp.frames) == 0
+        depth_dev = None
         if first:
             depth = self.nn.depth(frame)
             pose_global = np.eye(4)
             self.klt.init_first(cur_dev)
         else:
-            depth, rel = self.klt.step(self._prev_dev, cur_dev)
+            depth_dev, rel = self.klt.step(self._prev_dev, cur_dev)
+            depth = np.asarray(depth_dev[0]) if self.fetch_depth else None
             pose_global = rel @ self.mp.frames[-1].pose
         self._prev_dev = cur_dev
-        uncertainty = np.zeros_like(depth)
         a, b = 1.0, 0.0
         t1 = _time.perf_counter()
         self.timings["networks"] += t1 - t0
 
         f = Frame(
-            self.mp, np.asarray(frame), depth, uncertainty, pose_global,
+            self.mp, np.asarray(frame), depth,
+            None if depth is None else np.zeros_like(depth), pose_global,
             (a, b), features=(self.klt.kps_int(), None),
         )
         if first:
@@ -216,21 +227,32 @@ class MonoVO:
                 pose_global, self.mp.keyframes[-1].pose
             )
             is_kf = score is None or score > 1.0
+        detect_delta = 0.0
         if is_kf:
+            if f.depth is None:  # fetch_depth=False: BA needs host depth
+                # writable copy: the BA write-back mutates keyframe depth
+                f.depth = np.array(depth_dev[0])
+                f.uncertainty = np.zeros_like(f.depth)
+                depth = f.depth
+            det0 = self.klt.detect_s
             self.mp.register_keyframe(f)
             self.klt.register_keyframe(self.mp, f)
+            detect_delta = self.klt.detect_s - det0
+            self.timings["detect"] += detect_delta
         self.mp.register_device_image(f.id, cur_dev[0])
         t2 = _time.perf_counter()
-        self.timings["frontend"] += t2 - t1
+        # The frontend bucket is pure host bookkeeping; device detection
+        # (keyframes only) is accounted separately.
+        self.timings["frontend"] += (t2 - t1) - detect_delta
         if not is_kf:
-            return depth, uncertainty, f.pose, a, b
+            return depth, f.uncertainty, f.pose, a, b
 
         self.n_keyframes += 1
         if optimize and not first:
             self.mp.optimize(self.intrinsic)
             self.klt.drop_dead_points()
             self.timings["backend_ba"] += _time.perf_counter() - t2
-        return depth, uncertainty, f.pose, a, b
+        return depth, f.uncertainty, f.pose, a, b
 
     # ------------------------------------------------------------ ORB path
     def _process_frame_orb(self, frame: np.ndarray, optimize: bool = True):

@@ -108,7 +108,12 @@ def main() -> None:
         parser.error(f"--input path does not exist: {args.input}")
 
     os.makedirs(args.output, exist_ok=True)
-    vo = MonoVO(K, image_shape=(H, W), frontend=args.frontend)
+    # Without --depth_video nothing consumes per-frame dense depth, so skip
+    # its D2H transfer (keyframes still fetch it for BA).
+    vo = MonoVO(
+        K, image_shape=(H, W), frontend=args.frontend,
+        fetch_depth=args.depth_video or args.frontend == "orb",
+    )
 
     writer = None
     if args.depth_video:

@@ -1,0 +1,181 @@
+"""BA ablation: does the photometric bundle-adjustment backend IMPROVE
+trajectories? (VERDICT r2 item #2)
+
+Runs the full SLAM loop (``MonoVO.process_frame``) over synthetic fixture
+scenes with known GT poses (``data/synthetic.py:synthetic_slam_sequence`` —
+the same renderer behind the parity fixtures) under three configurations:
+
+  no_ba       optimize=False   — raw network odometry chain
+  windowed    optimize=True    — per-keyframe windowed photometric BA
+              (reference ``slam/optimizer.py:222-319``)
+  global      optimize=True + ``Map.global_bundle_adjustment`` at the end
+              (reference ``slam/optimizer.py:99-220``)
+
+and records ATE RMSE (Umeyama sim(3)-aligned — monocular scale ambiguity)
+and RPE for each, over both the full trajectory and the keyframe subset
+(global BA only writes back keyframe poses). Results go to
+``docs/ba_ablation_r03.json`` and are summarized in BASELINE.md.
+
+Optionally ``--vo_ckpt`` points at an orbax checkpoint dir from
+``train_vo.py`` so the ablation runs on a trained model instead of random
+init (both settings are recorded with provenance).
+
+Run on the TPU host:  python scripts/ba_ablation.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+H, W = 480, 640  # overridden by --size
+
+
+def load_networks(vo_ckpt: str | None, image_shape):
+    from deep_visual_slam_tpu.slam import Networks
+
+    if not vo_ckpt:
+        return Networks(image_shape=image_shape), "random-init"
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(vo_ckpt))
+    step = mgr.latest_step()
+    if step is None:
+        raise SystemExit(f"no checkpoint found under {vo_ckpt}")
+    tree = mgr.restore(
+        step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+    )["state"]
+    mgr.close()
+    return (
+        Networks(
+            depth_variables={"params": tree["params"]["depth"],
+                             "batch_stats": tree["batch_stats"]["depth"]},
+            pose_variables={"params": tree["params"]["pose"],
+                            "batch_stats": tree["batch_stats"]["pose"]},
+            image_shape=image_shape,
+        ),
+        f"{vo_ckpt}@step{step}",
+    )
+
+
+def run_once(nn_factory, frames, K, optimize: bool, global_ba: bool):
+    """One SLAM pass; returns (traj T_wc [N,4,4], keyframe ids, seconds)."""
+    from deep_visual_slam_tpu.slam import MonoVO
+
+    vo = MonoVO(K, image_shape=(H, W), networks=nn_factory())
+    t0 = time.perf_counter()
+    for f in frames:
+        vo.process_frame(f, optimize=optimize)
+    if global_ba and len(vo.mp.keyframes) >= 2:
+        vo.mp.global_bundle_adjustment(K, verbose=False)
+    elapsed = time.perf_counter() - t0
+    traj = vo.trajectory()
+    kf_ids = sorted(f.id for f in vo.mp.keyframes)
+    return traj, kf_ids, elapsed
+
+
+def evaluate(traj_wc, gt_cw, kf_ids):
+    """ATE/RPE of predicted T_wc vs GT (generator emits T_cw -> invert)."""
+    from deep_visual_slam_tpu.eval.trajectory import ate_rmse, rpe
+
+    gt_wc = np.linalg.inv(np.asarray(gt_cw, np.float64))
+    ate, _, stats = ate_rmse(traj_wc, gt_wc, align=True)
+    r = rpe(traj_wc, gt_wc, delta=1)
+    out = {
+        "ate_rmse": round(stats["ate_rmse"], 6),
+        "rpe_pos_mean": round(r["rpe_pos_mean"], 6),
+        "rpe_rot_mean_deg": round(r["rpe_rot_mean_deg"], 6),
+    }
+    # Keyframe-subset ATE: the only poses global BA writes back.
+    if len(kf_ids) >= 3:
+        _, _, kstats = ate_rmse(traj_wc[kf_ids], gt_wc[kf_ids], align=True)
+        out["kf_ate_rmse"] = round(kstats["ate_rmse"], 6)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--size", type=int, nargs=2, default=(480, 640),
+                    metavar=("H", "W"))
+    ap.add_argument("--seeds", type=int, nargs="+", default=[100, 101, 102])
+    ap.add_argument("--vo_ckpt", default=None,
+                    help="orbax checkpoint dir from train_vo.py (optional)")
+    ap.add_argument("--out_json", default="docs/ba_ablation_r03.json")
+    args = ap.parse_args()
+    global H, W
+    H, W = args.size
+
+    from deep_visual_slam_tpu.data.synthetic import synthetic_slam_sequence
+    from deep_visual_slam_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    # Build the networks ONCE (compile cost dominates) and reuse the same
+    # weights for every config — the ablation isolates the backend.
+    nn, provenance = load_networks(args.vo_ckpt, (H, W))
+    nn_factory = lambda: nn  # noqa: E731
+
+    configs = {
+        "no_ba": dict(optimize=False, global_ba=False),
+        "windowed_ba": dict(optimize=True, global_ba=False),
+        "windowed_plus_global_ba": dict(optimize=True, global_ba=True),
+    }
+    record = {
+        "provenance": {
+            "data": f"synthetic planar fixture scenes ({len(args.seeds)} "
+                    f"seeds x {args.frames} frames, {W}x{H}, "
+                    "step_translation=0.02 step_rotation=0.004 — same "
+                    "renderer as the parity fixtures)",
+            "weights": provenance,
+            "note": "no real Redwood data in this environment (zero "
+                    "egress); synthetic scenes are photometrically "
+                    "consistent so photometric BA is well-posed on them",
+        },
+        "per_scene": {},
+        "mean": {},
+    }
+
+    for seed in args.seeds:
+        frames, K, gt_cw = synthetic_slam_sequence(
+            args.frames, H, W, seed=seed,
+            step_translation=0.02, step_rotation=0.004,
+        )
+        scene = {}
+        for name, cfg in configs.items():
+            traj, kf_ids, secs = run_once(
+                nn_factory, frames, K, cfg["optimize"], cfg["global_ba"]
+            )
+            m = evaluate(traj, gt_cw, kf_ids)
+            m["seconds"] = round(secs, 1)
+            m["keyframes"] = len(kf_ids)
+            scene[name] = m
+            print(f"seed {seed} {name}: {m}", flush=True)
+        record["per_scene"][str(seed)] = scene
+
+    for name in configs:
+        for key in ("ate_rmse", "rpe_pos_mean", "rpe_rot_mean_deg",
+                    "kf_ate_rmse"):
+            vals = [s[name][key] for s in record["per_scene"].values()
+                    if key in s[name]]
+            if vals:
+                record["mean"].setdefault(name, {})[key] = round(
+                    float(np.mean(vals)), 6
+                )
+
+    os.makedirs(os.path.dirname(args.out_json), exist_ok=True)
+    with open(args.out_json, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record["mean"], indent=1))
+    print(f"wrote {args.out_json}")
+
+
+if __name__ == "__main__":
+    main()

@@ -143,6 +143,38 @@ def test_monovo_klt_pipeline(rng):
     assert vo.timings["frontend"] < vo.timings["networks"]
 
 
+def test_monovo_klt_lazy_depth_fetch(rng):
+    """fetch_depth=False: non-keyframes return depth=None (no dense D2H);
+    keyframes still fetch host depth for the BA problem."""
+    from deep_visual_slam_tpu.data.synthetic import default_intrinsics
+    from deep_visual_slam_tpu.slam import MonoVO, Networks
+
+    K = default_intrinsics(H, W)
+    vo = MonoVO(
+        K,
+        networks=Networks(image_shape=(H, W), dtype=jnp.float32),
+        image_shape=(H, W),
+        num_kf=4,
+        max_points=64,
+        fetch_depth=False,
+    )
+    base = np.repeat(_texture(rng, H * 2, W * 2)[..., None], 3, axis=-1)
+    depths = []
+    for i in range(6):
+        frame = base[0:H, 2 * i : 2 * i + W]  # slow pan -> some non-keyframes
+        depth, unc, pose, a, b = vo.process_frame(frame, optimize=True)
+        depths.append(depth)
+        assert np.isfinite(pose).all()
+    n_kf = len({f.id for f in vo.mp.keyframes} | {0})
+    fetched = [d for d in depths if d is not None]
+    skipped = [d for d in depths if d is None]
+    assert len(skipped) == 6 - vo.n_keyframes  # exactly non-keyframes skip
+    for d in fetched:
+        assert d.shape == (H, W) and np.isfinite(d).all()
+    for f in vo.mp.keyframes:
+        assert f.depth is not None  # BA always has host depth
+
+
 def test_klt_frontend_rehosts_after_marginalization(rng):
     """After BA marginalizes a keyframe, its Points die; the frontend must
     free those slots and re-host surviving tracks at the next keyframe."""
