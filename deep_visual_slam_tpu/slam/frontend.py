@@ -176,6 +176,14 @@ class Frame:
         self.pose = np.asarray(pose, np.float64)  # global T_cw
         self.a, self.b = brightness_params
         self.marginalize = False
+        # Keyframe anchoring: a non-keyframe stores its pose RELATIVE to the
+        # latest keyframe at creation, so backend write-backs to keyframe
+        # poses propagate rigidly to the frames chained off them (without
+        # this, BA corrections open pose discontinuities between corrected
+        # keyframes and the stale odometry frames around them — measured as
+        # a 0.65° -> 13° RPE regression on the synthetic fixtures).
+        self.anchor = None  # keyframes: self; non-keyframes: last keyframe
+        self.T_rel_anchor = None  # T_cw(self) @ inv(T_cw(anchor)) at creation
 
         # ``features`` lets the caller run ORB while the accelerator is
         # busy (MonoVO overlaps extraction with the async network dispatch).
@@ -184,3 +192,21 @@ class Frame:
 
         H, W = self.image.shape[:2]
         assert all(0 <= x < W and 0 <= y < H for x, y in self.kps)
+
+    def set_anchor(self, anchor: "Frame") -> None:
+        """Fix this frame's pose to an anchor keyframe (itself for
+        keyframes). Called once the keyframe decision is made."""
+        self.anchor = anchor
+        self.T_rel_anchor = (
+            None if anchor is self
+            else self.pose @ np.linalg.inv(anchor.pose)
+        )
+
+    def current_pose(self) -> np.ndarray:
+        """Global T_cw, refreshed against the anchor keyframe's (possibly
+        BA-corrected) current pose. Keyframe poses are authoritative (the
+        backend writes them back directly); non-keyframes ride their
+        anchor."""
+        if self.anchor is None or self.anchor is self:
+            return self.pose
+        return self.T_rel_anchor @ self.anchor.pose

@@ -75,6 +75,8 @@ class Map:
         key_frame = frame.id == 0 or self.check_key_frame(frame, match_from_prev)
         if key_frame:
             self.register_keyframe(frame)
+        elif self.keyframes:
+            frame.set_anchor(self.keyframes[-1])
         return key_frame
 
     def register_keyframe(self, frame: Frame) -> None:
@@ -82,6 +84,7 @@ class Map:
         marginalization when full — the policy-independent half of
         ``check_add_key_frame`` (also used by the KLT frontend, whose
         keyframe score comes from tracked displacements, not matching)."""
+        frame.set_anchor(frame)
         self.keyframes.append(frame)
         if len(self.keyframes) >= self.num_kf:
             self.keyframes[0].marginalize = True
@@ -121,9 +124,10 @@ class Map:
     # ------------------------------------------------------------ geometry
     def relative_to_global(self) -> List[np.ndarray]:
         """Global poses of all frames (frames store T_cw already; kept for
-        API parity with reference ``:348-356``)."""
+        API parity with reference ``:348-356``). Non-keyframes are refreshed
+        against their anchor keyframe's BA-corrected pose."""
         self.flush_ba()
-        return [f.pose.copy() for f in self.frames]
+        return [f.current_pose() for f in self.frames]
 
     def keypoints(self, frames: Optional[List[Frame]] = None) -> Dict[Point, List[Tuple[Frame, int]]]:
         """Points visible in >= 2 of the given keyframes, with their

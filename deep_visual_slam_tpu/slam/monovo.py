@@ -209,7 +209,9 @@ class MonoVO:
         else:
             depth_dev, rel = self.klt.step(self._prev_dev, cur_dev)
             depth = np.asarray(depth_dev[0]) if self.fetch_depth else None
-            pose_global = rel @ self.mp.frames[-1].pose
+            # Chain off the previous frame's REFRESHED pose so pipelined BA
+            # corrections that landed since feed forward into the odometry.
+            pose_global = rel @ self.mp.frames[-1].current_pose()
         self._prev_dev = cur_dev
         a, b = 1.0, 0.0
         t1 = _time.perf_counter()
@@ -239,6 +241,8 @@ class MonoVO:
             self.klt.register_keyframe(self.mp, f)
             detect_delta = self.klt.detect_s - det0
             self.timings["detect"] += detect_delta
+        else:
+            f.set_anchor(self.mp.keyframes[-1])
         self.mp.register_device_image(f.id, cur_dev[0])
         t2 = _time.perf_counter()
         # The frontend bucket is pure host bookkeeping; device detection
@@ -298,8 +302,8 @@ class MonoVO:
             depth = np.asarray(pending[0][0])  # sync point
             rel = np.asarray(pending[1][0], np.float64)
             # Frame pose is GLOBAL T_cw: compose the relative net pose onto
-            # the previous frame's global pose.
-            pose_global = rel @ self.mp.frames[-1].pose
+            # the previous frame's global (BA-refreshed) pose.
+            pose_global = rel @ self.mp.frames[-1].current_pose()
         uncertainty = np.zeros_like(depth)
         a, b = 1.0, 0.0
         t1 = _time.perf_counter()
@@ -367,6 +371,13 @@ class MonoVO:
         return self.mp.check_add_key_frame(f, match_from_prev=(l_prev, l_cur))
 
     def trajectory(self) -> np.ndarray:
-        """Global camera-to-world poses of all frames ([N, 4, 4])."""
+        """Global camera-to-world poses of all frames ([N, 4, 4]).
+
+        Keyframe poses are the BA-corrected values; non-keyframes ride their
+        anchor keyframe (``Frame.current_pose``), so backend corrections
+        shift whole inter-keyframe segments rigidly instead of opening
+        discontinuities at the keyframes."""
         self.mp.flush_ba()  # land any pipelined BA before reading poses
-        return np.stack([np.linalg.inv(f.pose) for f in self.mp.frames])
+        return np.stack(
+            [np.linalg.inv(f.current_pose()) for f in self.mp.frames]
+        )

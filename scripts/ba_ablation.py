@@ -77,7 +77,9 @@ def run_once(nn_factory, frames, K, optimize: bool, global_ba: bool):
         vo.mp.global_bundle_adjustment(K, verbose=False)
     elapsed = time.perf_counter() - t0
     traj = vo.trajectory()
-    kf_ids = sorted(f.id for f in vo.mp.keyframes)
+    # ALL keyframes, not just the surviving window (marginalized keyframes
+    # are popped from mp.keyframes but keep anchoring their segments).
+    kf_ids = sorted(f.id for f in vo.mp.frames if f.anchor is f)
     return traj, kf_ids, elapsed
 
 

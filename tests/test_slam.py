@@ -116,3 +116,50 @@ def test_device_image_cache_bounded_without_keyframes(rng):
         mp.register_device_image(fid, jnp.asarray(img))
         assert len(mp._dev_images) <= len(mp.keyframes) + 1
     assert len(mp._dev_images) <= 1  # no keyframes -> only the newest frame
+
+
+def test_anchored_pose_propagation(rng):
+    """BA write-backs to a keyframe pose shift the non-keyframes anchored to
+    it RIGIDLY (Frame.current_pose): relative poses within an inter-keyframe
+    segment are invariant to keyframe corrections, and the refreshed chain
+    keeps the trajectory free of discontinuities at keyframes."""
+    m = Map(num_kf=4)
+    img = _textured_image(rng)
+    depth = np.full((H, W), 2.0, np.float32)
+    unc = np.zeros((H, W), np.float32)
+
+    kf = Frame(m, img, depth, unc, np.eye(4))
+    assert m.check_add_key_frame(kf)
+    assert kf.anchor is kf
+
+    # Two odometry frames chained off the keyframe (small translations).
+    T1 = np.eye(4); T1[0, 3] = 0.1
+    T2 = np.eye(4); T2[0, 3] = 0.2
+    f1 = Frame(m, img, depth, unc, T1)
+    assert not m.check_add_key_frame(f1)
+    f2 = Frame(m, img, depth, unc, T2)
+    assert not m.check_add_key_frame(f2)
+    assert f1.anchor is kf and f2.anchor is kf
+
+    before_rel = f2.current_pose() @ np.linalg.inv(f1.current_pose())
+
+    # Simulate a BA write-back: correct the keyframe pose.
+    corr = np.eye(4)
+    corr[:3, :3] = np.array(
+        [[0.9950042, -0.0998334, 0], [0.0998334, 0.9950042, 0], [0, 0, 1]]
+    )
+    corr[1, 3] = 0.05
+    kf.pose = corr @ kf.pose
+
+    # Non-keyframes ride the correction rigidly: T_rel (= T1 here, anchor
+    # was identity at creation) composed onto the CORRECTED keyframe pose.
+    np.testing.assert_allclose(f1.current_pose(), T1 @ corr, atol=1e-12)
+    assert not np.allclose(f1.current_pose(), T1)
+    np.testing.assert_allclose(
+        f1.current_pose(), f1.T_rel_anchor @ kf.pose, atol=1e-12
+    )
+    # ...so intra-segment relative poses are unchanged.
+    after_rel = f2.current_pose() @ np.linalg.inv(f1.current_pose())
+    np.testing.assert_allclose(after_rel, before_rel, atol=1e-12)
+    # And the keyframe itself reports its corrected pose.
+    np.testing.assert_allclose(kf.current_pose(), kf.pose, atol=1e-12)
