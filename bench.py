@@ -120,6 +120,7 @@ def slam_bench(
     warmup: int = 10,
     frontend: str = "klt",
     fetch_depth: bool = True,
+    vo_ckpt: str | None = None,
     out_json: str = "docs/bench_slam_r03.json",
 ) -> None:
     """Time the FULL SLAM loop — ``MonoVO.process_frame`` (fused depth+pose+
@@ -141,9 +142,13 @@ def slam_bench(
 
     H, W = 480, 640
     frames, K, _ = synthetic_slam_sequence(n_frames + warmup, H, W, seed=0)
+    from deep_visual_slam_tpu.slam import Networks
+
+    nn = (Networks.from_checkpoint(vo_ckpt, image_shape=(H, W))
+          if vo_ckpt else None)
     vo = MonoVO(
         default_intrinsics(H, W), image_shape=(H, W), frontend=frontend,
-        fetch_depth=fetch_depth,
+        fetch_depth=fetch_depth, networks=nn,
     )
 
     for f in frames[:warmup]:  # compiles the fused net step + the BA program
@@ -192,6 +197,118 @@ def slam_bench(
         os.makedirs(os.path.dirname(out_json), exist_ok=True)
         with open(out_json, "w") as f:
             json.dump(record, f, indent=1)
+
+
+def train_bench(
+    steps: int = 24,
+    batch_size: int = 8,
+    source: str = "packed",
+    packed_root: str = "results/packed",
+    size=(480, 640),
+    device_augment: bool = False,
+    out_json: str = "docs/bench_train_r03.json",
+) -> None:
+    """END-TO-END training throughput INCLUDING the host input pipeline.
+
+    The README's headline training number is synchronized device time; this
+    measures what a real run sustains on this host — loader (decode or
+    memmap read + jitter + collate), H2D transfer, and the whole-step jitted
+    update — for the packed-record path (``data/packed.py``) or the
+    synthetic generator. frames/s = 3*batch (a snippet is 3 frames; matches
+    the device-time accounting in README).
+    """
+    import os as _os
+
+    import jax as _jax
+
+    from deep_visual_slam_tpu.data.loader import DataLoader, device_prefetch
+    from deep_visual_slam_tpu.models import DepthNet, PoseNet
+    from deep_visual_slam_tpu.training import init_vo_models
+    from deep_visual_slam_tpu.training.state import TrainState, make_optimizer
+    from deep_visual_slam_tpu.training.steps import make_vo_train_step
+    from deep_visual_slam_tpu.training.vo_learner import VOLossConfig
+
+    H, W = size
+    if source == "packed":
+        from deep_visual_slam_tpu.data.packed import (
+            PackedSnippetDataset,
+            list_packed_scenes,
+        )
+
+        scenes = list_packed_scenes(_os.path.join(packed_root, "train"))
+        if not scenes:
+            from scripts.pack_dataset import pack_synthetic
+
+            print(f"# packing 8 synthetic scenes into {packed_root} ...")
+            pack_synthetic(packed_root, 8, 64, (H, W))
+            scenes = list_packed_scenes(_os.path.join(packed_root, "train"))
+        from deep_visual_slam_tpu.data.loader import ConcatDataset
+
+        dataset = ConcatDataset(
+            [PackedSnippetDataset(s, (H, W), augment=not device_augment)
+             for s in scenes]
+        )
+    else:
+        from deep_visual_slam_tpu.data.synthetic import SyntheticVoDataset
+
+        dataset = SyntheticVoDataset((H, W), length=(steps + 4) * batch_size)
+
+    loader = DataLoader(dataset, batch_size, shuffle=True, num_workers=8)
+
+    depth_model = DepthNet(dtype=jnp.bfloat16)
+    pose_model = PoseNet(dtype=jnp.bfloat16)
+    variables = init_vo_models(
+        depth_model, pose_model, (H, W), jax.random.PRNGKey(0)
+    )
+    tx = make_optimizer(init_lr=1e-4, total_steps=10_000)
+    state = TrainState.create(variables["params"], variables["batch_stats"], tx)
+    train_step = make_vo_train_step(
+        depth_model, pose_model, VOLossConfig(),
+        device_augment=device_augment,
+    )
+    rng = jax.random.PRNGKey(1)
+
+    done = 0
+    t_start = None
+    while done < steps + 1:
+        for batch in device_prefetch(loader):
+            rng, sub = jax.random.split(rng)
+            state, losses = train_step(state, batch, sub)
+            done += 1
+            if done == 1:  # compile + first dispatch excluded
+                _jax.block_until_ready(losses)
+                t_start = time.perf_counter()
+            if done >= steps + 1:
+                break
+    _jax.block_until_ready(losses)
+    elapsed = time.perf_counter() - t_start
+    fps = steps * batch_size * 3 / elapsed
+    tag = f"{source}_devaug" if device_augment else source
+    record = {
+        "metric": f"vo_train_host_included_fps_{W}x{H}_bs{batch_size}_{tag}",
+        "value": round(fps, 2),
+        "unit": "frames/sec (3 frames per snippet)",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "steps_per_sec": round(steps / elapsed, 3),
+        "steps": steps,
+        "final_loss": float(np.asarray(losses["loss"])),
+    }
+    print(json.dumps(record))
+    if out_json:
+        os.makedirs(os.path.dirname(out_json), exist_ok=True)
+        mode = "r+" if os.path.exists(out_json) else "w"
+        existing = []
+        if mode == "r+":
+            with open(out_json) as f:
+                try:
+                    existing = json.load(f)
+                except Exception:
+                    existing = []
+            if not isinstance(existing, list):
+                existing = [existing]
+        existing.append(record)
+        with open(out_json, "w") as f:
+            json.dump(existing, f, indent=1)
 
 
 def main() -> None:
@@ -279,12 +396,31 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--no_fetch_depth", action="store_true",
                     help="skip the per-frame dense-depth D2H (KLT only)")
-    ap.add_argument("--out_json", default="docs/bench_slam_r03.json")
+    ap.add_argument("--vo_ckpt", default=None,
+                    help="--slam: run on a trained train_vo.py checkpoint")
+    ap.add_argument("--out_json", default=None)
+    ap.add_argument("--train", action="store_true",
+                    help="bench host-included training throughput")
+    ap.add_argument("--source", choices=("packed", "synthetic"),
+                    default="packed", help="--train input pipeline")
+    ap.add_argument("--packed_root", default="results/packed")
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=24)
+    ap.add_argument("--device_augment", action="store_true",
+                    help="--train: run ColorJitter on-device, host jitter off")
     args = ap.parse_args()
     if args.slam:
         slam_bench(
             n_frames=args.frames, frontend=args.frontend,
-            fetch_depth=not args.no_fetch_depth, out_json=args.out_json,
+            fetch_depth=not args.no_fetch_depth, vo_ckpt=args.vo_ckpt,
+            out_json=args.out_json or "docs/bench_slam_r03.json",
+        )
+    elif args.train:
+        train_bench(
+            steps=args.steps, batch_size=args.batch_size, source=args.source,
+            packed_root=args.packed_root,
+            device_augment=args.device_augment,
+            out_json=args.out_json or "docs/bench_train_r03.json",
         )
     else:
         main()

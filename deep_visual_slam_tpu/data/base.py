@@ -53,12 +53,20 @@ def color_jitter(
 
     One factor draw applied to every frame in the stack (the reference
     jitters the stacked triplet as one tensor, ``vo/dataset/common.py:79-81``).
+    The on-device fast path (``training/augment.py``) applies the same
+    formulas inside the train step; parity is pinned in tests.
     """
     b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
     c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
     s = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
     h = rng.uniform(-hue, hue)
+    return apply_color_jitter_np(images, b, c, s, h)
 
+
+def apply_color_jitter_np(
+    images: np.ndarray, b: float, c: float, s: float, h: float
+) -> np.ndarray:
+    """Apply given jitter factors to a [N, H, W, 3] stack (host path)."""
     out = images * b
     mean = out.mean(axis=(1, 2, 3), keepdims=True)
     out = (out - mean) * c + mean

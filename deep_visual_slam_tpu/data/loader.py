@@ -72,6 +72,7 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.seed = seed
         self._epoch = 0
+        self._skip_batches = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -82,30 +83,74 @@ class DataLoader:
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
-    def __iter__(self) -> Iterator[Dict]:
+    def _epoch_order(self) -> np.ndarray:
+        """Deterministic sample order for the CURRENT epoch (shared across
+        hosts: seeded by (seed, epoch) only). Multi-process runs slice it
+        per host in ``__iter__``."""
         n = len(self.dataset)
         rng = np.random.default_rng((self.seed, self._epoch))
         order = rng.permutation(n) if self.shuffle else np.arange(n)
         if self.drop_last:
             order = order[: (n // self.batch_size) * self.batch_size]
+        return order
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = self._epoch_order()
+        local_bs = self.batch_size
+        # Multi-host feeding (SPMD, one process per host): every process
+        # computes the SAME global order, then loads only its contiguous
+        # column of each global batch — batch b is the concatenation over
+        # process_index of the local batches, so
+        # ``jax.make_array_from_process_local_data`` in ``device_prefetch``
+        # reassembles exactly the single-host batch.
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc > 1:
+            if self.batch_size % pc:
+                raise ValueError(
+                    f"global batch_size {self.batch_size} must divide by "
+                    f"process_count {pc}"
+                )
+            local_bs = self.batch_size // pc
+            order = (
+                order[: (len(order) // self.batch_size) * self.batch_size]
+                .reshape(-1, pc, local_bs)[:, pi]
+                .reshape(-1)
+            )
         self._epoch += 1
 
         def fetch(args):
             pos, idx = args
+            # Per-sample rng keyed on the LOCAL position; include the
+            # process index so no two hosts reuse an augmentation stream.
             sample_rng = np.random.default_rng(
-                (self.seed, self._epoch, int(pos))
+                (self.seed, self._epoch, int(pi), int(pos))
             )
             return self.dataset.__getitem__(int(idx), sample_rng)
 
+        start = getattr(self, "_skip_batches", 0) * local_bs
+        if start:
+            order = order[start:]
+            self._skip_batches = 0
+
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
-            it = pool.map(fetch, enumerate(order), chunksize=4)
+            it = pool.map(
+                fetch,
+                ((start + i, idx) for i, idx in enumerate(order)),
+                chunksize=4,
+            )
             while True:
-                chunk = list(itertools.islice(it, self.batch_size))
+                chunk = list(itertools.islice(it, local_bs))
                 if not chunk:
                     return
-                if len(chunk) < self.batch_size and self.drop_last:
+                if len(chunk) < local_bs and self.drop_last:
                     return
                 yield collate(chunk)
+
+    def skip_batches(self, n: int) -> None:
+        """Fast-forward the NEXT epoch iteration by ``n`` batches (mid-epoch
+        resume: the deterministic order makes this exact — the skipped
+        prefix is the set of batches the interrupted run already consumed)."""
+        self._skip_batches = int(n)
 
 
 def device_prefetch(
@@ -115,16 +160,24 @@ def device_prefetch(
 ) -> Iterator[Dict]:
     """Keep ``size`` batches resident on device ahead of the consumer.
 
-    With a ``NamedSharding`` the batch is split over the mesh "data" axis
-    (per-host loading composes: each process feeds its addressable shard).
+    With a ``NamedSharding`` the batch is split over the mesh "data" axis.
+    Single process: one ``device_put`` scatters the global batch over the
+    local devices. Multi-process (one process per TPU host): the iterator
+    yields this process's LOCAL column of the global batch
+    (``DataLoader.__iter__`` process slicing) and
+    ``jax.make_array_from_process_local_data`` assembles the global jax
+    Array from the per-host shards — no cross-host data transfer.
     """
     queue: collections.deque = collections.deque()
+    multiprocess = jax.process_count() > 1
 
     def put(batch: Dict) -> Dict:
         def _place(x):
             if isinstance(x, np.ndarray) and x.dtype == np.float64:
                 x = x.astype(np.float32)
             if sharding is not None and isinstance(x, np.ndarray):
+                if multiprocess:
+                    return jax.make_array_from_process_local_data(sharding, x)
                 return jax.device_put(x, sharding)
             return jax.device_put(x)
 
@@ -262,6 +315,31 @@ class VoDataLoader:
                     except Exception as e:
                         print(f"Warning: skipping irs stereo {scene}: {e}")
 
+        # Packed-record source (TPU-native, data/packed.py): pre-resized
+        # uint8 memmap shards written by scripts/pack_dataset.py. Layout:
+        # <root>/{train,valid,test}/<scene>/{images.npy,meta.npz}.
+        packed_cfg = config["Dataset"].get("packed", {})
+        if packed_cfg.get("mono", False):
+            from deep_visual_slam_tpu.data.packed import (
+                PackedSnippetDataset,
+                list_packed_scenes,
+            )
+
+            root = packed_cfg.get("root") or os.path.join(
+                config["Directory"]["data_dir"], "packed"
+            )
+            for fold, target, is_train in (
+                ("train", train_sets, True),
+                ("valid", valid_sets, False),
+                ("test", test_sets, False),
+            ):
+                scenes = [
+                    PackedSnippetDataset(scene, image_size, is_train, is_train)
+                    for scene in list_packed_scenes(os.path.join(root, fold))
+                ]
+                if scenes:
+                    target.append(ConcatDataset(scenes))
+
         syn_cfg = config["Dataset"].get("synthetic", {})
         if syn_cfg.get("stereo", False):
             from deep_visual_slam_tpu.data.synthetic import SyntheticStereoDataset
@@ -305,6 +383,20 @@ class VoDataLoader:
         self.train_dataset = ConcatDataset(train_sets)
         self.valid_dataset = ConcatDataset(valid_sets)
         self.test_dataset = ConcatDataset(test_sets)
+
+        # Train.device_augment: the triplet ColorJitter runs INSIDE the
+        # jitted train step (training/augment.py) — turn the host-side
+        # jitter off everywhere so it isn't applied twice. Every snippet
+        # source gates its jitter on a ``.augment`` attribute.
+        if t.get("device_augment", False):
+            def _disable_host_augment(ds):
+                if isinstance(ds, ConcatDataset):
+                    for d in ds.datasets:
+                        _disable_host_augment(d)
+                elif hasattr(ds, "augment"):
+                    ds.augment = False
+
+            _disable_host_augment(self.train_dataset)
 
         use_shuffle = t.get("use_shuffle", True)
         self.train_loader = DataLoader(

@@ -1,0 +1,151 @@
+"""Packed-record dataset: pre-resized uint8 memmap shards feeding the TPU.
+
+SURVEY §7's hard-parts list calls out that per-sample JPEG decode cannot
+feed a TPU from a weak host (the reference's answer is 24 torch DataLoader
+worker *processes*, ``vo/dataset/vo_loader.py:208-216`` — not an option on a
+1-core host). The TPU-native answer is to do the decode+resize ONCE,
+offline, and stream training samples from memory-mapped uint8 shards:
+
+  scene_dir/
+    images.npy   uint8 [N, H, W, 3] (np.save; np.load(mmap_mode="r"))
+    meta.npz     intrinsic [4,4] scaled to (H, W); optional poses [N,4,4]
+                 (camera-to-world)
+
+Per-sample cost drops from ~3x(imdecode+resize) (~10-60 ms) to 3 memmap
+row copies + a uint8->f32 scale (<2 ms at 640x480), which the loader's
+thread pool overlaps with device compute. ``scripts/pack_dataset.py`` is
+the offline packer (any config-gated source, or synthetic fixtures).
+
+``PackedSnippetDataset`` keeps full ``SnippetDataset`` semantics (random
+temporal gaps, triplet-identical color jitter, intrinsics pyramid, eval GT
+relative poses) — only frame IO is replaced.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from deep_visual_slam_tpu.data.base import SnippetDataset
+
+IMAGES = "images.npy"
+META = "meta.npz"
+
+
+def pack_scene(
+    out_dir: str,
+    frames_u8: np.ndarray,
+    intrinsic: np.ndarray,
+    poses: Optional[np.ndarray] = None,
+) -> None:
+    """Write one scene's packed shard (frames already at target size)."""
+    assert frames_u8.dtype == np.uint8 and frames_u8.ndim == 4
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, IMAGES), frames_u8)
+    meta = {"intrinsic": np.asarray(intrinsic, np.float32)}
+    if poses is not None:
+        meta["poses"] = np.asarray(poses, np.float32)
+    np.savez(os.path.join(out_dir, META), **meta)
+
+
+def pack_from_paths(
+    out_dir: str,
+    rgb_paths,
+    intrinsic: np.ndarray,
+    image_size: Tuple[int, int],
+    poses=None,
+    chunk: int = 64,
+) -> None:
+    """Decode+resize a path-listed sequence into a packed shard.
+
+    Streams through a preallocated memmap so packing a long scene never
+    holds more than ``chunk`` decoded frames in RAM.
+    """
+    from deep_visual_slam_tpu.data.base import read_image_rgb
+
+    H, W = image_size
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(rgb_paths)
+    out = np.lib.format.open_memmap(
+        os.path.join(out_dir, IMAGES), mode="w+",
+        dtype=np.uint8, shape=(n, H, W, 3),
+    )
+    for start in range(0, n, chunk):
+        batch = [
+            (read_image_rgb(p, H, W) * 255.0).astype(np.uint8)
+            for p in rgb_paths[start : start + chunk]
+        ]
+        out[start : start + len(batch)] = np.stack(batch)
+    out.flush()
+    del out
+    meta = {"intrinsic": np.asarray(intrinsic, np.float32)}
+    if poses is not None:
+        meta["poses"] = np.asarray(poses, np.float32)
+    np.savez(os.path.join(out_dir, META), **meta)
+
+
+def list_packed_scenes(root: str):
+    """Sorted scene dirs under ``root`` that carry a packed shard."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if os.path.exists(os.path.join(root, d, IMAGES))
+        and os.path.exists(os.path.join(root, d, META))
+    )
+
+
+class PackedSnippetDataset(SnippetDataset):
+    """SnippetDataset over a packed shard (memmap frame IO, no decode)."""
+
+    def __init__(
+        self,
+        scene_dir: str,
+        image_size: Tuple[int, int],
+        is_train: bool = True,
+        augment: bool = True,
+        num_scales: int = 4,
+    ):
+        self.scene_dir = scene_dir
+        self._images = np.load(os.path.join(scene_dir, IMAGES), mmap_mode="r")
+        meta = np.load(os.path.join(scene_dir, META))
+        n, H, W = self._images.shape[:3]
+        if (H, W) != tuple(image_size):
+            raise ValueError(
+                f"packed shard {scene_dir} is {(H, W)}, requested "
+                f"{tuple(image_size)} — re-pack at the training resolution"
+            )
+        poses = meta["poses"] if "poses" in meta.files else None
+        super().__init__(
+            rgb_paths=[f"packed:{i}" for i in range(n)],
+            intrinsic=meta["intrinsic"],
+            image_size=image_size,
+            is_train=is_train,
+            augment=augment,
+            poses=poses,
+            num_scales=num_scales,
+        )
+
+    def _load(self, idx: int) -> np.ndarray:
+        return self._images[idx].astype(np.float32) / 255.0
+
+    def _load_triplet(self, indices) -> np.ndarray:
+        # Fancy-index copies the three rows out of the memmap in one read
+        # (~2.7 MB at 640x480), then one fused uint8->f32 scale.
+        return self._images[np.asarray(indices)].astype(np.float32) / 255.0
+
+    def __getstate__(self):
+        # memmaps don't pickle; reopen lazily (xdist/subprocess safety).
+        state = dict(self.__dict__)
+        state["_images"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._images = np.load(
+            os.path.join(self.scene_dir, IMAGES), mmap_mode="r"
+        )

@@ -180,6 +180,12 @@ class RedwoodEvaluator:
                 scene, aligned, poses_gt,
                 os.path.join(output_dir, f"{scene}_trajectory.png"),
             )
+            # KITTI-style 2D path + speed heatmap panels per scene
+            # (reference wires these from plot_results,
+            # vo/utils/utils.py:319-415).
+            from deep_visual_slam_tpu.eval.trajectory import plot_path_heatmaps
+
+            plot_path_heatmaps(scene, poses_gt, aligned, output_dir)
         return result
 
     def evaluate(

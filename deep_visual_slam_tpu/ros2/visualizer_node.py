@@ -56,7 +56,22 @@ class VisualizerNode(Node):
         from deep_visual_slam_tpu.training import init_vo_models
         from deep_visual_slam_tpu.utils.config import load_config
 
-        self.config = config or load_config()
+        # ROS2 parameters (settable via --ros-args -p name:=value or the
+        # packaged config.yaml; reference parameterizes the weights path the
+        # same way, ros2_ws/src/vo_visualizer setup data_files):
+        #   config_file      YAML training config to load
+        #   data_root        dataset root override
+        #   depth_weights / pose_weights   .npz/.pth model weights
+        self.declare_parameter("config_file", "")
+        self.declare_parameter("data_root", "")
+        self.declare_parameter("depth_weights", "")
+        self.declare_parameter("pose_weights", "")
+        cfg_file = self.get_parameter("config_file").value or None
+        data_root = (
+            data_root or self.get_parameter("data_root").value or None
+        )
+
+        self.config = config or load_config(cfg_file)
         t = self.config["Train"]
         H, W = t["img_h"], t["img_w"]
 
@@ -65,6 +80,21 @@ class VisualizerNode(Node):
         variables = init_vo_models(
             depth_model, pose_model, (H, W), jax.random.PRNGKey(0)
         )
+        dw = self.get_parameter("depth_weights").value
+        pw = self.get_parameter("pose_weights").value
+        if dw or pw:
+            from deep_visual_slam_tpu.utils.pretrained import (
+                apply_vo_pretrained,
+            )
+
+            cfg = dict(self.config)
+            cfg["Train"] = dict(t)
+            cfg["Train"]["pretrained_weights"] = {
+                "depth": dw or None, "pose": pw or None,
+            }
+            variables, msgs = apply_vo_pretrained(variables, cfg)
+            for m in msgs:
+                self.get_logger().info(m)
         dv = {"params": variables["params"]["depth"],
               "batch_stats": variables["batch_stats"]["depth"]}
         pv = {"params": variables["params"]["pose"],

@@ -92,6 +92,26 @@ class Networks:
         self._pose_fn = _pose
         self._step_fn = _step
 
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir: str, **kwargs) -> "Networks":
+        """Build jitted SLAM inference from a ``train_vo.py`` orbax
+        checkpoint dir (the trainer's {params:{depth,pose}, batch_stats}
+        layout; reference loads epoch .pth files, ``vo/train.py:83-98``)."""
+        from deep_visual_slam_tpu.utils.checkpoint import load_latest_tree
+
+        loaded = load_latest_tree(ckpt_dir)
+        if loaded is None:
+            raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+        tree, step = loaded
+        print(f"Networks.from_checkpoint: {ckpt_dir} @ step {step}")
+        return cls(
+            depth_variables={"params": tree["params"]["depth"],
+                             "batch_stats": tree["batch_stats"]["depth"]},
+            pose_variables={"params": tree["params"]["pose"],
+                            "batch_stats": tree["batch_stats"]["pose"]},
+            **kwargs,
+        )
+
     def depth(self, image: np.ndarray) -> np.ndarray:
         """[H, W, 3] float image -> [H, W] metric depth."""
         out = self._depth_fn(jnp.asarray(image, jnp.float32)[None])

@@ -87,6 +87,16 @@ def main() -> None:
     parser.add_argument("--global_ba", action="store_true")
     parser.add_argument("--depth_video", action="store_true")
     parser.add_argument(
+        "--scene_video", action="store_true",
+        help="record a follow-cam 3D scene mp4 (growing cloud + trajectory "
+        "per keyframe; headless equivalent of the reference's live PyVista "
+        "window, utils/viz.py)",
+    )
+    parser.add_argument(
+        "--vo_ckpt", default=None,
+        help="orbax checkpoint dir from train_vo.py (default: random init)",
+    )
+    parser.add_argument(
         "--frontend", choices=("klt", "orb"), default="klt",
         help="klt: device-side tracking fused with the nets (TPU-native "
         "default); orb: reference-parity host ORB+KNN",
@@ -110,9 +120,14 @@ def main() -> None:
     os.makedirs(args.output, exist_ok=True)
     # Without --depth_video nothing consumes per-frame dense depth, so skip
     # its D2H transfer (keyframes still fetch it for BA).
+    from deep_visual_slam_tpu.slam import Networks
+
+    nn = (Networks.from_checkpoint(args.vo_ckpt, image_shape=(H, W))
+          if args.vo_ckpt else None)
     vo = MonoVO(
         K, image_shape=(H, W), frontend=args.frontend,
         fetch_depth=args.depth_video or args.frontend == "orb",
+        networks=nn,
     )
 
     writer = None
@@ -123,12 +138,32 @@ def main() -> None:
             15,
             (W, H),
         )
+    viz = None
+    if args.scene_video:
+        from deep_visual_slam_tpu.utils.viz import Visualizer
+
+        viz = Visualizer(args.output)
+        uu, vv = np.meshgrid(np.arange(W, dtype=np.float32),
+                             np.arange(H, dtype=np.float32))
 
     n = 0
+    n_kf = 0
     for frame in iter_frames(args.input, (H, W)):
         depth, _, pose, _, _ = vo.process_frame(frame)
         if writer is not None:
             writer.write(depth_colormap(depth))
+        if viz is not None and vo.n_keyframes > n_kf and depth is not None:
+            n_kf = vo.n_keyframes
+            # Host unprojection of the keyframe depth; one follow-cam frame
+            # per keyframe grows the cloud in the mp4.
+            pts_cam = np.stack(
+                [(uu - K[0, 2]) / K[0, 0] * depth,
+                 (vv - K[1, 2]) / K[1, 1] * depth, depth], axis=-1
+            )
+            T_wc = np.linalg.inv(pose)
+            viz.add_pose(T_wc)
+            viz.add_pointcloud(pts_cam, frame, T_wc)
+            viz.render(follow_cam=True, floor=True)
         n += 1
         if n % 10 == 0:
             print(f"frame {n}: |t| = {np.linalg.norm(pose[:3, 3]):.3f} m, "
@@ -137,6 +172,10 @@ def main() -> None:
             break
     if writer is not None:
         writer.release()
+    if viz is not None:
+        path = viz.save_movie(os.path.join(args.output, "scene.mp4"), fps=5)
+        if path:
+            print(f"scene video -> {path}")
 
     if args.global_ba and len(vo.mp.keyframes) >= 2:
         print("running global bundle adjustment...")

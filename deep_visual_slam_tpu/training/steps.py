@@ -37,20 +37,52 @@ def _jit_step(step_fn, mesh: Optional[Mesh], donate_state: bool = True):
 
 
 def make_vo_train_step(
-    depth_model, pose_model, cfg: vo_learner.VOLossConfig, mesh: Optional[Mesh] = None
+    depth_model, pose_model, cfg: vo_learner.VOLossConfig,
+    mesh: Optional[Mesh] = None, remat: bool = False,
+    device_augment: bool = False,
 ):
-    """Returns ``train_step(state, batch, rng) -> (new_state, losses)``."""
+    """Returns ``train_step(state, batch, rng) -> (new_state, losses)``.
+
+    ``remat=True`` rematerializes the DepthNet forward (``jax.checkpoint``):
+    the backward pass recomputes the encoder/decoder activations instead of
+    holding every multi-scale feature map of the 640x480 pyramid in HBM —
+    the standard TPU trade of FLOPs for HBM at large batch (the reference's
+    anchor bs16 regime). PoseNet and the warp/loss stay un-remat'ed (small
+    relative footprint). Measured sweep: docs/remat_r03.json.
+
+    ``device_augment=True`` applies the triplet ColorJitter ON DEVICE
+    (``training/augment.py``) — pair with loaders built with
+    ``augment=False`` so the weak host only reads+collates.
+    """
 
     def train_step(state: TrainState, batch, rng):
+        if device_augment:
+            from deep_visual_slam_tpu.training.augment import (
+                batch_snippet_jitter,
+            )
+
+            rng, jrng = jax.random.split(rng)
+            batch = batch_snippet_jitter(batch, jrng)
         def loss_fn(params):
             mut = {}
 
-            def depth_apply(_, x, train):
-                out, upd = depth_model.apply(
-                    {"params": params["depth"], "batch_stats": state.batch_stats["depth"]},
+            # Pure (params, stats, x) -> (out, updated_stats) so
+            # jax.checkpoint can wrap it (the mutable-collection side
+            # channel must flow through the return value, not a closure).
+            def depth_fwd(p, bs, x):
+                return depth_model.apply(
+                    {"params": p, "batch_stats": bs},
                     x,
                     train=True,
                     mutable=["batch_stats"],
+                )
+
+            if remat:
+                depth_fwd = jax.checkpoint(depth_fwd)
+
+            def depth_apply(_, x, train):
+                out, upd = depth_fwd(
+                    params["depth"], state.batch_stats["depth"], x
                 )
                 mut["depth"] = upd["batch_stats"]
                 return out

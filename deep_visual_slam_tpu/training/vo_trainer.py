@@ -131,7 +131,9 @@ class Trainer:
 
         # Steps
         self.train_step = make_vo_train_step(
-            self.depth_model, self.pose_model, self.loss_cfg, mesh=self.mesh
+            self.depth_model, self.pose_model, self.loss_cfg, mesh=self.mesh,
+            remat=t.get("remat", False),
+            device_augment=t.get("device_augment", False),
         )
         self.eval_step = make_vo_eval_step(
             self.depth_model, self.pose_model, self.loss_cfg, mesh=self.mesh
@@ -151,14 +153,31 @@ class Trainer:
         ckpt_dir = os.path.join(config["Directory"]["weights"], exp)
         self.ckpt = CheckpointManager(ckpt_dir)
         self.start_epoch = 1
+        self.resume_step_in_epoch = 0
         self.state, meta, step = self.ckpt.restore_latest(self.state)
-        if step is not None:
-            self.start_epoch = (meta or {}).get("epoch", 0) + 1
-            print(f"Resumed from checkpoint step {step} (epoch {self.start_epoch})")
-
         self.eval_tool = EvalTrajectory()
         self.timer = StepTimer()
         self.rng = jax.random.PRNGKey(t.get("seed", 42) + 1)
+        if step is not None:
+            meta = meta or {}
+            sie = int(meta.get("step_in_epoch", 0))
+            if sie > 0:
+                # Mid-epoch checkpoint: RE-ENTER the same epoch, fast-forward
+                # the deterministic permutation past the consumed batches and
+                # restore the host rng so the remaining steps replay exactly.
+                self.start_epoch = meta.get("epoch", 1)
+                self.resume_step_in_epoch = sie
+                self.rng = jnp.asarray(meta["rng"], dtype=jnp.uint32)
+            else:
+                self.start_epoch = meta.get("epoch", 0) + 1
+            print(
+                f"Resumed from checkpoint step {step} (epoch "
+                f"{self.start_epoch}, step_in_epoch {sie})"
+            )
+        # Mid-epoch checkpoint cadence, off by default (reference saves per
+        # epoch only; SURVEY §5.4 plans finer-grained recovery for
+        # preemptible chips).
+        self.save_every_steps = t.get("save_every_steps") or 0
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -166,6 +185,10 @@ class Trainer:
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         running: Dict[str, float] = {}
         count = 0
+        if self.resume_step_in_epoch and epoch == self.start_epoch:
+            count = self.resume_step_in_epoch
+            self.data_loader.train_loader.skip_batches(count)
+            self.resume_step_in_epoch = 0
         # Profiling hook (reference has none, SURVEY.md §5.1): set
         # Train.profile_dir to capture an xplane trace of steps 2-6 of the
         # first epoch, viewable in TensorBoard's profiler plugin.
@@ -173,6 +196,8 @@ class Trainer:
         stereo_iter = None
         if self.stereo_step is not None:
             self.data_loader.train_stereo_loader.set_epoch(epoch)
+            if count:  # mid-epoch resume: one stereo batch per mono step
+                self.data_loader.train_stereo_loader.skip_batches(count)
             stereo_iter = iter(
                 device_prefetch(
                     self.data_loader.train_stereo_loader, sharding=sharding
@@ -204,6 +229,8 @@ class Trainer:
                 profile_dir = None
             self.timer.tick()
             count += 1
+            if self.save_every_steps and count % self.save_every_steps == 0:
+                self.save_checkpoint(epoch, step_in_epoch=count)
             # Accumulate EVERY step on-device (no sync; the adds are async
             # scalar dispatches that pipeline behind the step — measured
             # +0.9 ms/step for 6 keys over the tunnelled TPU, ~0.3% of a
@@ -284,9 +311,18 @@ class Trainer:
         self.writer.flush()
         return metrics
 
-    def save_checkpoint(self, epoch: int) -> None:
+    def save_checkpoint(self, epoch: int, step_in_epoch: int = 0) -> None:
+        """``step_in_epoch=0`` marks a COMPLETED epoch; >0 is a mid-epoch
+        save carrying the host rng so a resumed run replays the remaining
+        batches of this epoch step-for-step (SURVEY §5.4: iterator state =
+        (epoch, step-in-epoch, rng) — the deterministic permutation makes
+        the data position recoverable by fast-forward, no iterator pickle)."""
         step = int(jax.device_get(self.state.step))
-        self.ckpt.save(step, self.state, metadata={"epoch": epoch})
+        self.ckpt.save(step, self.state, metadata={
+            "epoch": epoch,
+            "step_in_epoch": int(step_in_epoch),
+            "rng": np.asarray(jax.device_get(self.rng)).tolist(),
+        })
 
     def train(self) -> None:
         for epoch in range(self.start_epoch, self.epochs + 1):

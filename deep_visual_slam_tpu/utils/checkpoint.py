@@ -85,6 +85,26 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def load_latest_tree(directory: str):
+    """Load the newest checkpoint's raw {params, batch_stats, opt_state,
+    step} tree WITHOUT a state template (inference-side consumers: the SLAM
+    ``Networks``, eval CLIs). Returns (tree, step) or None if empty."""
+    directory = os.path.abspath(directory)
+    if not os.path.isdir(directory):
+        return None
+    mgr = ocp.CheckpointManager(directory)
+    try:
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        tree = mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+        )["state"]
+        return tree, step
+    finally:
+        mgr.close()
+
+
 def save_params_only(params, path: str) -> None:
     """Bare-weights export (reference also writes per-epoch weight files)."""
     ckptr = ocp.StandardCheckpointer()

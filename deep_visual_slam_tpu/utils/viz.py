@@ -49,7 +49,21 @@ class Visualizer:
         self.points.append(pts_w)
         self.colors.append(np.clip(col, 0, 1))
 
-    def render(self, out_path: str, elev: float = -70, azim: float = -90) -> np.ndarray:
+    def render(
+        self,
+        out_path: Optional[str] = None,
+        elev: float = -70,
+        azim: float = -90,
+        follow_cam: bool = False,
+        follow_radius: float = 5.0,
+        floor: bool = False,
+    ) -> np.ndarray:
+        """Render the scene; ``follow_cam=True`` reproduces the reference's
+        live-window chase camera (virtual camera behind/above the current
+        pose looking at it, ``vo/utils/visualization.py:240-265``) for the
+        headless mp4 path: the axes recenter on the newest camera pose and
+        the view direction tracks its forward vector. ``floor`` draws the
+        checkerboard ground-plane grid of the reference window."""
         import matplotlib
 
         matplotlib.use("Agg")
@@ -71,11 +85,39 @@ class Visualizer:
                 traj = traj * np.array([1.0, -1.0, 1.0])
             ax.plot(traj[:, 0], traj[:, 1], traj[:, 2], "r-", linewidth=2)
             self._draw_camera(ax, self.poses[-1])
+        if floor and self.points:
+            allp = np.concatenate(self.points)
+            y0 = float(allp[:, 1].min()) - 0.05
+            c0 = allp.mean(axis=0)
+            r = max(3.0, follow_radius)
+            ticks = np.arange(c0[0] - r, c0[0] + r + 1e-6, r / 4)
+            zticks = np.arange(c0[2] - r, c0[2] + r + 1e-6, r / 4)
+            for x in ticks:
+                ax.plot([x, x], [y0, y0], [zticks[0], zticks[-1]],
+                        color="0.8", linewidth=0.5)
+            for z in zticks:
+                ax.plot([ticks[0], ticks[-1]], [y0, y0], [z, z],
+                        color="0.8", linewidth=0.5)
+        if follow_cam and self.poses:
+            T = self.poses[-1]
+            center = T[:3, 3].copy()
+            fwd = T[:3, :3][:, 2].copy()
+            if self.flip_y:
+                center[1] = -center[1]
+                fwd[1] = -fwd[1]
+            ax.set_xlim(center[0] - follow_radius, center[0] + follow_radius)
+            ax.set_ylim(center[1] - follow_radius, center[1] + follow_radius)
+            ax.set_zlim(center[2] - follow_radius, center[2] + follow_radius)
+            # Look from behind/above the camera along its forward vector
+            # (matplotlib's azim rotates in the x-y plane about z).
+            azim = float(np.degrees(np.arctan2(fwd[1], fwd[0]))) + 180.0
+            elev = float(
+                -np.degrees(np.arcsin(np.clip(fwd[2], -1.0, 1.0)))
+            ) + 20.0
         ax.view_init(elev=elev, azim=azim)
         ax.set_title("VO scene")
-        fig.savefig(out_path, dpi=100)
-        import PIL.Image
-
+        if out_path is not None:
+            fig.savefig(out_path, dpi=100)
         fig.canvas.draw()
         img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
         plt.close(fig)

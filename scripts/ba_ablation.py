@@ -43,25 +43,9 @@ def load_networks(vo_ckpt: str | None, image_shape):
 
     if not vo_ckpt:
         return Networks(image_shape=image_shape), "random-init"
-    import orbax.checkpoint as ocp
-
-    mgr = ocp.CheckpointManager(os.path.abspath(vo_ckpt))
-    step = mgr.latest_step()
-    if step is None:
-        raise SystemExit(f"no checkpoint found under {vo_ckpt}")
-    tree = mgr.restore(
-        step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
-    )["state"]
-    mgr.close()
     return (
-        Networks(
-            depth_variables={"params": tree["params"]["depth"],
-                             "batch_stats": tree["batch_stats"]["depth"]},
-            pose_variables={"params": tree["params"]["pose"],
-                            "batch_stats": tree["batch_stats"]["pose"]},
-            image_shape=image_shape,
-        ),
-        f"{vo_ckpt}@step{step}",
+        Networks.from_checkpoint(vo_ckpt, image_shape=image_shape),
+        vo_ckpt,
     )
 
 

@@ -74,3 +74,42 @@ def redwood_root(tmp_path, rng):
             with open(sdir / f"{scene}.json", "w") as f:
                 _json.dump({"nodes": nodes}, f)
     return str(root)
+
+
+def run_collective_subprocess(body: str, ok_token: str, timeout: int = 1500,
+                              retries: int = 2) -> None:
+    """Run a collective-heavy test body in a FRESH subprocess with retries.
+
+    XLA:CPU collectives rendezvous one thread per virtual device and F-check
+    (silent SIGABRT, "worker crashed" under xdist) when a loaded single-core
+    host starves a participant past the termination timeout. The subprocess
+    isolates the abort from the pytest worker; the rendezvous/SIGABRT
+    signature is retried (runtime scheduling flake, not repo logic).
+    Shared shield for every collective-heavy test (VERDICT r2 #10).
+    """
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env_flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in env_flags:
+        env["XLA_FLAGS"] = (
+            env_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    out = None
+    for attempt in range(retries):
+        out = subprocess.run(
+            [sys.executable, "-c", body],
+            env=env, capture_output=True, text=True, timeout=timeout,
+        )
+        if out.returncode == 0:
+            break
+        flaky = (
+            "rendezvous" in out.stderr
+            or out.returncode in (-6, 134)  # SIGABRT
+        )
+        if not flaky:
+            break
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert ok_token in out.stdout

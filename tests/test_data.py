@@ -118,3 +118,93 @@ def test_synthetic_dataset_consistency():
     assert "gt_pose_target_to_right" in s
     batch = collate([ds.__getitem__(i) for i in range(2)])
     assert batch["gt_pose_target_to_right"].shape == (2, 4, 4)
+
+
+# ---------------------------------------------------------------- packed
+def test_packed_roundtrip_matches_path_pipeline(tmp_path, redwood_root):
+    """Packing a path-backed scene and reading it back through
+    PackedSnippetDataset yields the SAME samples as the cv2 decode path
+    (bit-exact modulo the single uint8 quantization both pipelines share)."""
+    from deep_visual_slam_tpu.data.packed import (
+        PackedSnippetDataset,
+        pack_from_paths,
+    )
+
+    src = RedwoodDataset(redwood_root, "train", (H, W), is_train=True)
+    scene = src.scenes[0] if hasattr(src, "scenes") else src
+    scene.augment = False  # jitter would amplify the uint8 quantization
+    pack_from_paths(
+        str(tmp_path / "s0"), scene.rgb_paths, scene.intrinsic, (H, W),
+        poses=scene.poses, chunk=7,
+    )
+    packed = PackedSnippetDataset(
+        str(tmp_path / "s0"), (H, W), is_train=True, augment=False
+    )
+    assert len(packed) == len(scene)
+    rng_a, rng_b = np.random.default_rng(3), np.random.default_rng(3)
+    a = scene.__getitem__(2, rng_a)
+    b = packed.__getitem__(2, rng_b)
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1 / 255 + 1e-6, err_msg=k)
+
+
+def test_packed_synthetic_fold_and_loader(tmp_path):
+    """Synthetic packer -> Dataset.packed config -> VoDataLoader batches,
+    with GT relative poses available in eval mode."""
+    import subprocess
+    import sys as _sys
+
+    from deep_visual_slam_tpu.data.packed import (
+        PackedSnippetDataset,
+        list_packed_scenes,
+    )
+    from scripts.pack_dataset import pack_synthetic
+
+    pack_synthetic(str(tmp_path / "packed"), 3, 12, (H, W))
+    train_scenes = list_packed_scenes(str(tmp_path / "packed" / "train"))
+    assert len(train_scenes) == 1 and \
+        len(list_packed_scenes(str(tmp_path / "packed" / "valid"))) == 1
+
+    cfg = load_config(overrides={
+        "Directory": {"data_dir": str(tmp_path) + "/"},
+        "Dataset": {
+            "redwood": {"mono": False},
+            "packed": {"mono": True, "root": str(tmp_path / "packed")},
+        },
+        "Train": {"img_h": H, "img_w": W, "batch_size": 2, "num_workers": 2},
+    })
+    dl = VoDataLoader(cfg)
+    b = next(iter(dl.train_loader))
+    assert b["target_image"].shape == (2, H, W, 3)
+    assert b["target_image"].dtype == np.float32
+    assert 0.0 <= b["target_image"].min() and b["target_image"].max() <= 1.0
+    assert b["K_1"][0, 0, 0] == pytest.approx(b["K"][0, 0, 0] / 2)
+
+    # Eval mode: GT relative poses from the packed camera-to-world poses.
+    ev = PackedSnippetDataset(train_scenes[0], (H, W), is_train=False)
+    s = ev.__getitem__(0, np.random.default_rng(0))
+    gt = s["gt_pose_left_to_target"]
+    assert gt.shape == (4, 4)
+    assert np.isfinite(gt).all()
+    assert np.linalg.norm(gt[:3, 3]) > 1e-5  # camera actually moved
+
+    # Shard refuses a mismatched training resolution (explicit, not silent).
+    with pytest.raises(ValueError):
+        PackedSnippetDataset(train_scenes[0], (H * 2, W * 2))
+
+
+def test_packed_dataset_pickles(tmp_path):
+    """memmap-backed datasets must survive pickling (xdist/subprocess)."""
+    import pickle
+
+    from deep_visual_slam_tpu.data.packed import PackedSnippetDataset
+    from scripts.pack_dataset import pack_synthetic
+
+    pack_synthetic(str(tmp_path / "p"), 1, 8, (H, W))
+    ds = PackedSnippetDataset(
+        str(tmp_path / "p" / "train" / "scene_000"), (H, W)
+    )
+    ds2 = pickle.loads(pickle.dumps(ds))
+    a = ds.__getitem__(0, np.random.default_rng(1))
+    b = ds2.__getitem__(0, np.random.default_rng(1))
+    np.testing.assert_allclose(a["target_image"], b["target_image"])

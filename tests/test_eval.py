@@ -151,6 +151,10 @@ def test_redwood_evaluator_oracle(redwood_root, tmp_path):
     import os
     assert os.path.exists(os.path.join(out_dir, "apartment_pairs.csv"))
     assert os.path.exists(os.path.join(out_dir, "apartment_trajectory.png"))
+    # KITTI-style panels are wired into the per-scene eval output
+    # (VERDICT r2 #7): 2D path + speed heatmap.
+    assert os.path.exists(os.path.join(out_dir, "apartment_path_2d.png"))
+    assert os.path.exists(os.path.join(out_dir, "apartment_speed.png"))
 
 
 def test_redwood_evaluator_with_posenet(redwood_root):

@@ -138,3 +138,69 @@ def test_ros2_msg_utils(rng):
     from deep_visual_slam_tpu.ros2 import visualizer_node
 
     assert visualizer_node.HAS_RCLPY is False
+
+
+def test_ros2_ament_package_lints():
+    """ros2_ws/src/dvs_visualizer is a well-formed ament_python package
+    (VERDICT r2 #8): package.xml parses with build_type ament_python, the
+    resource-index marker exists, setup.py declares the visualizer_node
+    entry point, and the entry point resolves to the real library node."""
+    import ast
+    import os
+    import xml.etree.ElementTree as ET
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ros2_ws", "src", "dvs_visualizer",
+    )
+    # package.xml
+    root = ET.parse(os.path.join(pkg, "package.xml")).getroot()
+    assert root.findtext("name") == "dvs_visualizer"
+    assert root.find("export/build_type").text == "ament_python"
+    deps = [d.text for d in root.findall("depend")]
+    for need in ("rclpy", "sensor_msgs", "geometry_msgs", "tf2_ros"):
+        assert need in deps
+    # ament resource index marker
+    assert os.path.exists(os.path.join(pkg, "resource", "dvs_visualizer"))
+    assert os.path.exists(os.path.join(pkg, "config.yaml"))
+    assert os.path.exists(os.path.join(pkg, "setup.cfg"))
+    # setup.py is valid python and declares the console entry point
+    src = open(os.path.join(pkg, "setup.py")).read()
+    ast.parse(src)
+    assert "visualizer_node = dvs_visualizer.visualizer_node:main" in src
+    # the entry point resolves to the library implementation
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "dvs_visualizer.visualizer_node",
+        os.path.join(pkg, "dvs_visualizer", "visualizer_node.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from deep_visual_slam_tpu.ros2.visualizer_node import main as lib_main
+
+    assert mod.main is lib_main
+
+
+def test_visualizer_follow_cam_movie(tmp_path, rng):
+    """Follow-cam render (headless chase camera + checkerboard floor,
+    reference vo/utils/visualization.py:240-265) recenters on the newest
+    pose and accumulates mp4 frames as the cloud grows."""
+    from deep_visual_slam_tpu.utils.viz import Visualizer
+
+    viz = Visualizer(str(tmp_path))
+    pts = rng.uniform(0.5, 3.0, size=(16, 24, 3)).astype(np.float32)
+    col = rng.uniform(size=(16, 24, 3)).astype(np.float32)
+    T = np.eye(4)
+    imgs = []
+    for i in range(3):
+        T = T.copy()
+        T[0, 3] += 1.0
+        viz.add_pose(T)
+        viz.add_pointcloud(pts, col, T, stride=4)
+        imgs.append(viz.render(follow_cam=True, floor=True))
+    assert len(viz._frames) == 3
+    # The chase camera follows: successive renders differ.
+    assert not np.array_equal(imgs[0], imgs[-1])
+    movie = viz.save_movie(str(tmp_path / "follow.mp4"), fps=5)
+    assert movie and os.path.getsize(movie) > 0

@@ -173,41 +173,20 @@ print("2DMESH_OK")
 """
 
 
+@pytest.mark.xdist_group("collectives")
 def test_train_step_on_2d_mesh():
     """The reserved model axis composes: a (data=2, model=2) mesh runs the
     full VO train step with batch sharded over 'data' and params replicated
     (GSPMD keeps gradient reductions on the data axis; the model axis is
     ready for tensor-parallel shardings without API changes).
 
-    Runs in a FRESH subprocess with one retry: XLA:CPU collectives
-    rendezvous one thread per virtual device with a hard 40 s termination
-    timeout (rendezvous.cc F-check -> SIGABRT); on this single-core host a
-    loaded machine can starve participants of a collective-permute past
-    the timeout (reproduced with test_phase_decoder.py preceding this test
-    in one process; the identical program passes on an idle core). Runtime
-    scheduling flake, not repo logic — the mesh is kept at 4 devices and
-    the rendezvous-timeout signature is retried once.
+    Shielded by ``conftest.run_collective_subprocess`` (fresh subprocess +
+    rendezvous-SIGABRT retry; see its docstring for the XLA:CPU failure
+    mode on this single-core host).
     """
-    import os
-    import subprocess
-    import sys
+    from tests.conftest import run_collective_subprocess
 
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (
-            flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-    for attempt in range(2):
-        out = subprocess.run(
-            [sys.executable, "-c", _TRAIN_2D_MESH_BODY],
-            env=env, capture_output=True, text=True, timeout=1500,
-        )
-        if out.returncode == 0 or "rendezvous" not in out.stderr:
-            break
-    assert out.returncode == 0, out.stderr[-3000:]
-    assert "2DMESH_OK" in out.stdout
+    run_collective_subprocess(_TRAIN_2D_MESH_BODY, "2DMESH_OK")
 
 
 def test_looks_multihost_tpu_detection(monkeypatch):
@@ -249,3 +228,100 @@ def test_explicit_single_process_overrides_pod_detection(monkeypatch):
     monkeypatch.setattr(dist, "_INITIALIZED", False)
     monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
     assert dist.init_distributed() == 1
+
+
+_MULTIPROC_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from deep_visual_slam_tpu.data.loader import DataLoader, device_prefetch
+
+assert jax.process_count() == 2 and len(jax.devices()) == 4
+
+class IdxDataset:
+    # Sample content == its dataset index, so shard placement is verifiable.
+    def __len__(self):
+        return 32
+    def __getitem__(self, i, rng=None):
+        return {"x": np.full((4,), float(i), np.float32)}
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("data",))
+sharding = NamedSharding(mesh, P("data"))
+dl = DataLoader(IdxDataset(), batch_size=8, shuffle=True, seed=5,
+                num_workers=2)
+batches = list(device_prefetch(dl, sharding=sharding))
+assert len(batches) == 4, len(batches)
+
+# The single-host reference order this run must reproduce exactly.
+order = np.random.default_rng((5, 0)).permutation(32)
+for b, batch in enumerate(batches):
+    arr = batch["x"]
+    assert arr.shape == (8, 4), arr.shape  # GLOBAL batch shape
+    expected = order[b * 8 : (b + 1) * 8].astype(np.float32)
+    for shard in arr.addressable_shards:
+        r0 = shard.index[0].start or 0
+        rows = np.asarray(shard.data)[:, 0]
+        np.testing.assert_allclose(rows, expected[r0 : r0 + len(rows)])
+
+# And the assembled array drives a jitted cross-process reduction.
+total = float(jax.jit(jnp.sum)(batches[0]["x"]))
+assert total == float(order[:8].sum()) * 4, (total, order[:8].sum() * 4)
+print("MP_FEED_OK", pid)
+"""
+
+
+@pytest.mark.xdist_group("collectives")
+def test_multiprocess_data_feeding():
+    """Two real jax processes (distributed.initialize, 2 CPU devices each)
+    feed one global batch via per-process DataLoader slicing +
+    ``jax.make_array_from_process_local_data`` (loader.py multi-host path):
+    every global batch reproduces the single-host order exactly, shards
+    land on the right hosts, and the result drives a jitted cross-process
+    reduction."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # Two processes must not share the one tunnelled TPU — drop the axon
+    # plugin (it ignores JAX_PLATFORMS=cpu) from the workers' PYTHONPATH
+    # and make sure the repo root is importable.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = [p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p]
+    env["PYTHONPATH"] = os.pathsep.join([repo] + path)
+    for attempt in range(2):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", _MULTIPROC_WORKER, str(pid), port],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for pid in (0, 1)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                outs.append(p.communicate(timeout=600))
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            continue
+        if all(p.returncode == 0 for p in procs):
+            break
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+        assert "MP_FEED_OK" in out

@@ -103,3 +103,63 @@ def test_depth_trainer_smoke(tmp_path, rng):
     # Validation metrics got produced.
     m = trainer.validate(1)
     assert "valid/abs_rel" in m and np.isfinite(m["valid/abs_rel"])
+
+
+def test_mid_epoch_resume_matches_uninterrupted(tmp_path):
+    """A run killed mid-epoch and resumed from a ``save_every_steps``
+    checkpoint replays the REST of the epoch step-for-step identically to an
+    uninterrupted run: same batches (deterministic permutation fast-forward),
+    same rng stream (host key persisted in metadata), same losses
+    (VERDICT r2 #6 done-criterion)."""
+    import jax
+
+    from deep_visual_slam_tpu.training.vo_trainer import Trainer
+
+    def instrument(tr, record, interrupt_after=None):
+        orig = tr.train_step
+
+        def wrapped(state, batch, rng):
+            state, losses = orig(state, batch, rng)
+            record.append(float(jax.device_get(losses["loss"])))
+            if interrupt_after and len(record) >= interrupt_after:
+                raise KeyboardInterrupt  # simulated preemption
+            return state, losses
+
+        tr.train_step = wrapped
+
+    def cfg(sub, extra):
+        c = _vo_config(tmp_path / sub)
+        c["Dataset"]["synthetic"]["length"] = 48  # 6 steps/epoch
+        c["Train"].update({"epoch": 1, "valid_freq": 10, **extra})
+        return c
+
+    # Reference: one uninterrupted epoch of 6 steps.
+    ref_losses = []
+    tr_a = Trainer(cfg("a", {}), use_mesh=False)
+    instrument(tr_a, ref_losses)
+    tr_a.train()
+    assert len(ref_losses) == 6
+    tr_a.writer.close(); tr_a.ckpt.close()
+
+    # Interrupted: checkpoint every 2 steps, die DURING step 5 (the
+    # interrupt fires inside the step, before its result can be returned or
+    # saved — a real preemption). Last completed save: step_in_epoch=4.
+    part_losses = []
+    tr_b = Trainer(cfg("b", {"save_every_steps": 2}), use_mesh=False)
+    instrument(tr_b, part_losses, interrupt_after=5)
+    with pytest.raises(KeyboardInterrupt):
+        tr_b.train()
+    tr_b.writer.close(); tr_b.ckpt.close()
+    assert part_losses == ref_losses[:5]  # same data+rng up to the kill
+
+    # Resume: picks up inside epoch 1 at step_in_epoch=4 and replays
+    # steps 5-6 exactly (step 5's work was lost with the preemption).
+    resumed = []
+    tr_c = Trainer(cfg("b", {"save_every_steps": 2}), use_mesh=False)
+    assert tr_c.start_epoch == 1 and tr_c.resume_step_in_epoch == 4
+    assert int(np.asarray(tr_c.state.step)) == 4
+    instrument(tr_c, resumed)
+    tr_c.train()
+    tr_c.writer.close(); tr_c.ckpt.close()
+    assert len(resumed) == 2  # only the remaining steps of the epoch
+    np.testing.assert_allclose(resumed, ref_losses[4:], rtol=0, atol=0)
