@@ -18,10 +18,16 @@ TPU-native design:
     edges (host frame, out-of-window, OOB reprojection) masked to weight 0 —
     the reference instead skips edges dynamically (``slam/optimizer.py:276-289``)
     and zeroes OOB errors in C++ (``types_six_dof_expmap.cpp:684-692``).
-  - Residuals use *bilinear* image sampling (the C++ casts to int — nearest),
-    and Jacobians come from forward-mode autodiff of the retraction at zero
-    instead of hand-derived chain rules; both are strictly better numerically
-    and fuse into one XLA program.
+  - Residuals use *bilinear* image sampling (the C++ casts to int — nearest).
+    Jacobians are exact but GATHER-FREE: forward-mode autodiff of the
+    reprojection geometry at the retraction's zero point, chained with the
+    bilinear interpolant's analytic image gradient — computed from the same
+    4 texels the residual pass fetches anyway and carried across LM
+    iterations (random gathers are the one op class TPUs do badly; the
+    13-tangent jacfwd must never touch the image). The reference's C++
+    analogue chain rule uses finite-difference image gradients
+    (``types_six_dof_expmap.cpp:702-797``); ours is exact for the
+    interpolant, i.e. equals jacfwd through the sampler.
   - Gauss-Newton system: dense block Hessian assembled with scatter-adds;
     depth block eliminated by a Schur complement; the reduced (6(F-1))² pose
     system (<= 36x36 for the default 7-keyframe window) is solved with a
@@ -111,6 +117,43 @@ def bilinear_sample_stack(
     return top * (1 - wy) + bot * wy
 
 
+def bilinear_sample_stack_grad(
+    images: jnp.ndarray, frame_idx: jnp.ndarray, uv: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Value AND spatial gradient of the bilinear interpolant from ONE
+    4-texel fetch: returns ``(I [C], dI/d(x,y) [C, 2])``.
+
+    The gradient is the exact derivative of the piecewise-bilinear surface —
+    identical to what reverse/forward-mode autodiff of
+    :func:`bilinear_sample_stack` produces (the interpolant is linear in x at
+    fixed y and vice versa), but costs zero extra gathers. This is what lets
+    the LM loop differentiate ONLY gather-free geometry (see
+    :func:`photometric_ba`): the reference's C++ analogue is the
+    hand-coded image-gradient chain rule in ``linearizeOplus``
+    (``types_six_dof_expmap.cpp:702-797``), which uses *finite-difference*
+    image gradients; ours is exact for the interpolant.
+    """
+    F, H, W, C = images.shape
+    x = jnp.clip(uv[0], 0.0, W - 1.0)
+    y = jnp.clip(uv[1], 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    wx = x - x0
+    wy = y - y0
+    flat = images.reshape(F * H * W, C)
+    base = frame_idx * (H * W) + y0 * W + x0
+    v00 = flat[base]
+    v01 = flat[base + 1]
+    v10 = flat[base + W]
+    v11 = flat[base + W + 1]
+    val = (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (
+        v10 * (1 - wx) + v11 * wx
+    ) * wy
+    gx = (v01 - v00) * (1 - wy) + (v11 - v10) * wy
+    gy = (v10 - v00) * (1 - wx) + (v11 - v01) * wx
+    return val, jnp.stack([gx, gy], axis=-1)
+
+
 def _unproject(K: jnp.ndarray, uv: jnp.ndarray, depth: jnp.ndarray) -> jnp.ndarray:
     """cam_unmap: pixel + depth -> host-camera-frame 3D point
     (reference ``CameraParameters::cam_unmap``, types_six_dof_expmap.h:79-86)."""
@@ -173,6 +216,96 @@ def edge_residual(
     return jnp.where(in_bounds, r, 0.0), in_bounds
 
 
+def _edge_geometry(xi_d, xi_h, dd, T_dest, T_host, depth, uv, K):
+    """Gather-free reprojection geometry of one edge — the ONLY part the
+    Jacobian pass needs to differentiate (see :func:`edge_jacobian`).
+    Returns (uv_dest [2], dest-frame z, perturbed depth)."""
+    Td = se3_exp(xi_d) @ T_dest
+    Th = se3_exp(xi_h) @ T_host
+    d = depth + dd
+    X_host = _unproject(K, uv, d)
+    T_rel = Td @ jnp.linalg.inv(Th)
+    X_dest = T_rel[:3, :3] @ X_host + T_rel[:3, 3]
+    return _project(K, X_dest), X_dest[2], d
+
+
+def _edge_in_bounds(uv_dest, z, d, H, W):
+    return (
+        (uv_dest[0] >= 1.0)
+        & (uv_dest[0] <= W - 2.0)
+        & (uv_dest[1] >= 1.0)
+        & (uv_dest[1] <= H - 2.0)
+        & (z > 1e-3)
+        & (d > 1e-3)
+    )
+
+
+def edge_residual_grad(
+    T_dest: jnp.ndarray,   # [4, 4] current dest T_cw
+    T_host: jnp.ndarray,   # [4, 4] current host T_cw
+    depth: jnp.ndarray,    # [] current depth
+    uv: jnp.ndarray,       # [2] host pixel
+    I_host: jnp.ndarray,   # [C] prefetched host intensity at uv (constant)
+    dest_i: jnp.ndarray,   # [] int32 dest frame index into images
+    images: jnp.ndarray,   # [F, H, W, C]
+    K: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Residual of one edge at the current point, plus the bilinear image
+    gradient gI [C, 2] at the reprojection — free from the texels the
+    residual fetches anyway, and exactly what :func:`edge_jacobian` needs to
+    linearize at this point. Returns (r [C], in_bounds [], gI [C, 2])."""
+    _, H, W, _ = images.shape
+    zeros6 = jnp.zeros(6)
+    uv_dest, z, d = _edge_geometry(
+        zeros6, zeros6, jnp.zeros(()), T_dest, T_host, depth, uv, K
+    )
+    ok = _edge_in_bounds(uv_dest, z, d, H, W)
+    I_dest, gI = bilinear_sample_stack_grad(images, dest_i, uv_dest)
+    # OOB edges contribute nothing (reference zeroes them,
+    # types_six_dof_expmap.cpp:684-692).
+    return jnp.where(ok, I_dest - I_host, 0.0), ok, gI
+
+
+def edge_jacobian(
+    T_dest: jnp.ndarray,
+    T_host: jnp.ndarray,
+    depth: jnp.ndarray,
+    uv: jnp.ndarray,
+    gI: jnp.ndarray,       # [C, 2] image gradient at the current reprojection
+    images: jnp.ndarray,   # used for H, W only — never gathered
+    K: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact per-edge Jacobian with ZERO image gathers: forward-mode autodiff
+    of the reprojection geometry (13 tangents of pure arithmetic) chained
+    with the bilinear image gradient ``gI`` computed by the last accepted
+    :func:`edge_residual_grad` pass at the same point. Identical (up to fp
+    order) to ``jacfwd`` through the sampler — the residual depends on the
+    parameters only through uv_dest, and gI is the interpolant's exact
+    derivative there (pinned by ``tests/test_ba.py``).
+
+    Returns (J_dest [C, 6], J_host [C, 6], J_depth [C])."""
+    _, H, W, _ = images.shape
+    zeros6 = jnp.zeros(6)
+    zero = jnp.zeros(())
+
+    def f_uv(xi_d, xi_h, dd):
+        return _edge_geometry(
+            xi_d, xi_h, dd, T_dest, T_host, depth, uv, K
+        )[0]
+
+    uv_dest, z, d = _edge_geometry(
+        zeros6, zeros6, zero, T_dest, T_host, depth, uv, K
+    )
+    ok = _edge_in_bounds(uv_dest, z, d, H, W)
+    Ju_d, Ju_h, Ju_z = jax.jacfwd(f_uv, argnums=(0, 1, 2))(
+        zeros6, zeros6, zero
+    )  # [2, 6], [2, 6], [2]
+    J_dest = jnp.where(ok, gI @ Ju_d, 0.0)  # [C, 6]
+    J_host = jnp.where(ok, gI @ Ju_h, 0.0)  # [C, 6]
+    J_depth = jnp.where(ok, gI @ Ju_z, 0.0)  # [C]
+    return J_dest, J_host, J_depth
+
+
 def huber_weight(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
     """IRLS weight of the Huber kernel: 1 inside delta, delta/|r| outside."""
     return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
@@ -208,47 +341,32 @@ def photometric_ba(
     e_host = problem.host_idx[e_point]
     e_weight = problem.weight[e_point]
 
-    zeros6 = jnp.zeros(6)
-    zero = jnp.zeros(())
+    e_uv = problem.host_uv[e_point]
 
-    def single_edge_jac(T_dest, T_host, depth, uv, host_i, dest_i):
-        def f(xi_d, xi_h, dd):
-            return edge_residual(
-                xi_d, xi_h, dd, T_dest, T_host, depth, uv, host_i, dest_i,
-                images, K,
-            )[0]
+    # Host intensities never move (the host pixel is a constant): ONE fetch
+    # for the whole optimization instead of one per evaluation pass.
+    I_host_e = jax.vmap(
+        lambda hi, uv: bilinear_sample_stack(images, hi, uv)
+    )(e_host, e_uv)  # [E, C]
 
-        return jax.jacfwd(f, argnums=(0, 1, 2))(zeros6, zeros6, zero)
-
-    def single_edge_res(T_dest, T_host, depth, uv, host_i, dest_i):
-        return edge_residual(
-            zeros6, zeros6, zero, T_dest, T_host, depth, uv, host_i, dest_i,
-            images, K,
-        )
-
-    jac_fn = jax.vmap(single_edge_jac, in_axes=(0, 0, 0, 0, 0, 0))
-    res_fn = jax.vmap(single_edge_res, in_axes=(0, 0, 0, 0, 0, 0))
-
-    def _edge_args(poses, depths):
-        return (
-            poses[e_dest],
-            poses[e_host],
-            depths[e_point],
-            problem.host_uv[e_point],
-            e_host,
-            e_dest,
-        )
+    jac_fn = jax.vmap(
+        edge_jacobian, in_axes=(0, 0, 0, 0, 0, None, None)
+    )
+    res_fn = jax.vmap(
+        edge_residual_grad, in_axes=(0, 0, 0, 0, 0, 0, None, None)
+    )
 
     def evaluate(poses, depths):
-        """Residual-only pass: r, IRLS weights, and cost — no Jacobians.
-
-        g2o likewise only recomputes the error for the LM candidate
-        (``optimization_algorithm_levenberg.cpp:58-120``); Jacobians are a
-        ~13x-wider jacfwd, so keeping them out of the candidate check and
-        reusing the accepted candidate's residuals for the next
-        linearization halves per-iteration cost.
+        """Residual pass: r, IRLS weights, cost, and the bilinear image
+        gradient gI at each reprojection — free from the texels the residual
+        fetches anyway, and exactly what the next linearization at this point
+        needs (g2o likewise only recomputes the error for the LM candidate,
+        ``optimization_algorithm_levenberg.cpp:58-120``).
         """
-        r, valid = res_fn(*_edge_args(poses, depths))
+        r, valid, gI = res_fn(
+            poses[e_dest], poses[e_host], depths[e_point], e_uv,
+            I_host_e, e_dest, images, K,
+        )
         r_norm = jnp.linalg.norm(r, axis=-1)
         w = (
             huber_weight(r_norm, huber_delta)
@@ -257,12 +375,15 @@ def photometric_ba(
             * valid.astype(jnp.float32)
         )
         chi2 = jnp.sum(w * jnp.sum(r * r, axis=-1))
-        return r, w, chi2
+        return r, w, chi2, gI
 
-    def linearize_jac(poses, depths):
-        """Jacobians only; the residual at this point is carried in from the
-        previous iteration's accepted candidate evaluation."""
-        return jac_fn(*_edge_args(poses, depths))
+    def linearize_jac(poses, depths, gI):
+        """Jacobians only — pure arithmetic, no image access; (r, w, gI) at
+        this point are carried in from the previous accepted evaluation."""
+        return jac_fn(
+            poses[e_dest], poses[e_host], depths[e_point], e_uv, gI,
+            images, K,
+        )
 
     def build_system(r, w, J_dest, J_host, J_depth):
         """Assemble the damped GN system and Schur-eliminate depths."""
@@ -336,17 +457,17 @@ def photometric_ba(
         return new_poses, depths + dz
 
     def lm_step(carry, _):
-        poses, depths, lam, r, w, chi2 = carry
-        # One Jacobian pass at the current point; (r, w, chi2) carried from
-        # the last accepted evaluation of the same point.
-        Jd, Jh, Jz = linearize_jac(poses, depths)
+        poses, depths, lam, r, w, chi2, gI = carry
+        # One gather-free Jacobian pass at the current point; (r, w, gI,
+        # chi2) carried from the last accepted evaluation of the same point.
+        Jd, Jh, Jz = linearize_jac(poses, depths, gI)
         H_pp, H_pd, H_dd, b_p, b_d = build_system(r, w, Jd, Jh, Jz)
         dx_pose, dz = solve(H_pp, H_pd, H_dd, b_p, b_d, lam)
         cand_poses, cand_depths = retract(poses, depths, dx_pose, dz)
 
         # Residual-only candidate cost; a diverged (non-finite) candidate
         # must be rejected even though masking could zero its residuals.
-        r2, w2, chi2_new = evaluate(cand_poses, cand_depths)
+        r2, w2, chi2_new, gI2 = evaluate(cand_poses, cand_depths)
         finite = (
             jnp.isfinite(chi2_new)
             & jnp.all(jnp.isfinite(cand_poses))
@@ -359,15 +480,21 @@ def photometric_ba(
         new_depths = jnp.where(accept, cand_depths, depths)
         new_r = jnp.where(accept, r2, r)
         new_w = jnp.where(accept, w2, w)
+        new_gI = jnp.where(accept, gI2, gI)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-8, 1e6)
         new_chi2 = jnp.minimum(chi2_new, chi2)
-        return (new_poses, new_depths, lam, new_r, new_w, new_chi2), chi2
+        return (
+            new_poses, new_depths, lam, new_r, new_w, new_chi2, new_gI
+        ), chi2
 
-    r0, w0, chi2_0 = evaluate(problem.poses, problem.depths)
-    (poses, depths, lam, _, _, chi2), chi2_hist = jax.lax.scan(
+    r0, w0, chi2_0, gI0 = evaluate(problem.poses, problem.depths)
+    (poses, depths, lam, _, _, chi2, _), chi2_hist = jax.lax.scan(
         lm_step,
-        (problem.poses, problem.depths, jnp.asarray(init_lambda), r0, w0, chi2_0),
+        (
+            problem.poses, problem.depths, jnp.asarray(init_lambda),
+            r0, w0, chi2_0, gI0,
+        ),
         None,
         length=num_iters,
     )

@@ -188,3 +188,67 @@ def test_ba_huber_downweights_outliers():
     np.testing.assert_allclose(
         np.asarray(out_depths)[1:], truth["depths"][1:], rtol=0.05
     )
+
+
+def test_gather_free_jacobian_matches_autodiff_through_sampler():
+    """The production linearization (analytic bilinear gradient chained with
+    geometry-only jacfwd, `edge_jacobian`) must equal forward-mode autodiff
+    straight through the image sampler (`edge_residual`) — it is the same
+    derivative computed without touching the image. Covers in-bounds AND
+    out-of-bounds (zeroed) edges."""
+    from deep_visual_slam_tpu.slam.ba import (
+        bilinear_sample_stack,
+        edge_jacobian,
+        edge_residual,
+        edge_residual_grad,
+    )
+
+    problem, _ = _make_problem(pose_noise=0.05, depth_noise=0.2)
+    images, K = problem.images, problem.K
+    zeros6 = jnp.zeros(6)
+    zero = jnp.zeros(())
+
+    # Every (point, dest!=host) edge; big pose noise pushes some OOB.
+    e_point, e_dest = np.meshgrid(np.arange(P), np.arange(1, F), indexing="ij")
+    e_point, e_dest = e_point.ravel(), e_dest.ravel()
+    T_dest = problem.poses[e_dest]
+    # Force some OOB edges: a large x-translation on the last few dest poses
+    # and a sub-threshold depth on one point.
+    T_dest = T_dest.at[-5:, 0, 3].add(5.0)
+    T_host = problem.poses[np.zeros_like(e_dest)]
+    depth = problem.depths[e_point].at[3].set(5e-4)
+    uv = problem.host_uv[e_point]
+    host_i = jnp.zeros(len(e_point), jnp.int32)
+    dest_i = jnp.asarray(e_dest, jnp.int32)
+
+    def ref_jac(Td, Th, d, uv1, hi, di):
+        f = lambda xi_d, xi_h, dd: edge_residual(  # noqa: E731
+            xi_d, xi_h, dd, Td, Th, d, uv1, hi, di, images, K
+        )[0]
+        return jax.jacfwd(f, argnums=(0, 1, 2))(zeros6, zeros6, zero)
+
+    Jd_ref, Jh_ref, Jz_ref = jax.vmap(ref_jac)(
+        T_dest, T_host, depth, uv, host_i, dest_i
+    )
+
+    I_host = jax.vmap(
+        lambda hi, uv1: bilinear_sample_stack(images, hi, uv1)
+    )(host_i, uv)
+    r_new, ok, gI = jax.vmap(
+        edge_residual_grad, in_axes=(0, 0, 0, 0, 0, 0, None, None)
+    )(T_dest, T_host, depth, uv, I_host, dest_i, images, K)
+    Jd, Jh, Jz = jax.vmap(
+        edge_jacobian, in_axes=(0, 0, 0, 0, 0, None, None)
+    )(T_dest, T_host, depth, uv, gI, images, K)
+
+    assert not bool(jnp.all(ok)), "fixture should include OOB edges"
+    r_ref, ok_ref = jax.vmap(
+        lambda Td, Th, d, uv1, hi, di: edge_residual(
+            zeros6, zeros6, zero, Td, Th, d, uv1, hi, di, images, K
+        )
+    )(T_dest, T_host, depth, uv, host_i, dest_i)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+    np.testing.assert_allclose(np.asarray(r_new), np.asarray(r_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Jd), np.asarray(Jd_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Jh), np.asarray(Jh_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Jz), np.asarray(Jz_ref), atol=2e-4)
