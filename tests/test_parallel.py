@@ -13,6 +13,14 @@ import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
 
+# EVERY test in this module may run an 8-virtual-device collective program.
+# Two such programs in DIFFERENT xdist workers deadlock each other's
+# rendezvous on this single-core host (all participants futex-wait; observed
+# hanging a full-suite run for 50+ min before this marker). One shared group
+# name across all collective-running tests (see also test_trainer.py)
+# serializes them onto one worker.
+pytestmark = pytest.mark.xdist_group("collectives")
+
 from deep_visual_slam_tpu.parallel import (
     DATA_AXIS,
     all_gather,

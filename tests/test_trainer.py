@@ -31,7 +31,11 @@ def _vo_config(tmp_path):
     })
 
 
+@pytest.mark.xdist_group("collectives")
 def test_vo_trainer_end_to_end_and_resume(tmp_path):
+    """(In the "collectives" group: trains on the full 8-device mesh —
+    concurrent 8-device collective programs in different xdist workers
+    deadlock on this host; see test_parallel.py's module marker.)"""
     from deep_visual_slam_tpu.training.vo_trainer import Trainer
 
     cfg = _vo_config(tmp_path)
@@ -63,8 +67,10 @@ def test_vo_trainer_end_to_end_and_resume(tmp_path):
     np.testing.assert_allclose(a, b)
 
 
+@pytest.mark.xdist_group("collectives")
 def test_depth_trainer_smoke(tmp_path, rng):
-    """Depth trainer over a real on-disk NYU-format dataset."""
+    """Depth trainer over a real on-disk NYU-format dataset.
+    (8-device-mesh training -> "collectives" group, see above.)"""
     import cv2
 
     # Build fake NYU tree: <root>/nyu_depth_v2/{train,test}/rgb_*/depth_*
