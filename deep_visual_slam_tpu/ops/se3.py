@@ -156,6 +156,39 @@ def _so3_left_jacobian(vec: jnp.ndarray) -> jnp.ndarray:
     return eye + c1 * K + c2 * (K @ K)
 
 
+def _so3_exp_rotation(phi: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues via series-safe sinc coefficients: ``I + A·K + B·K²`` with
+    ``A = sin(a)/a``, ``B = (1−cos a)/a²`` and their Taylor series near zero.
+
+    Unlike :func:`rotation_from_axisangle` (kept bit-parity with the
+    reference's ``angle + 1e-7`` axis normalization,
+    ``vo/learner_func.py:65-104``), this form has the EXACT derivative
+    ``dR/dphi|₀ = [·]ₓ`` at phi = 0 — the point where the BA retraction
+    linearizes every iteration. The reference-parity form's epsilon scales
+    that derivative by ~1e-5, silently freezing BA rotation updates
+    (pinned by ``tests/test_se3.py::test_se3_exp_derivative_at_zero``).
+    """
+    phi = phi.astype(jnp.float32)
+    a2 = jnp.sum(phi * phi, axis=-1)[..., None, None]  # [..., 1, 1]
+    a = jnp.sqrt(a2)
+    x, y, z = phi[..., 0:1, None], phi[..., 1:2, None], phi[..., 2:3, None]
+    zeros = jnp.zeros_like(x)
+    K = jnp.concatenate(
+        [
+            jnp.concatenate([zeros, -z, y], axis=-1),
+            jnp.concatenate([z, zeros, -x], axis=-1),
+            jnp.concatenate([-y, x, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+    small = a < 1e-4
+    safe = jnp.where(small, 1.0, a)
+    A = jnp.where(small, 1.0 - a2 / 6.0, jnp.sin(safe) / safe)
+    B = jnp.where(small, 0.5 - a2 / 24.0, (1.0 - jnp.cos(safe)) / (safe * safe))
+    eye = jnp.eye(3, dtype=jnp.float32)
+    return eye + A * K + B * (K @ K)
+
+
 def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """Exponential map se(3) -> SE(3).
 
@@ -165,13 +198,30 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     """
     xi = xi.astype(jnp.float32)
     rho, phi = xi[..., :3], xi[..., 3:]
-    R = rotation_from_axisangle(phi)
+    R = _so3_exp_rotation(phi)
     J = _so3_left_jacobian(phi)
     t = (J @ rho[..., None])[..., 0]
     batch = xi.shape[:-1]
     T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), batch + (4, 4))
     T = T.at[..., :3, :3].set(R)
     return T.at[..., :3, 3].set(t)
+
+
+def se3_inv(T: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form SE(3) inverse: ``[R t; 0 1]⁻¹ = [Rᵀ −Rᵀt; 0 1]``.
+
+    Exact for rigid transforms and ~10x cheaper than ``jnp.linalg.inv`` on a
+    [..., 4, 4] batch (no LU); the BA backend inverts each window pose once
+    per linearization with this instead of one general inverse per edge.
+    """
+    R = T[..., :3, :3]
+    t = T[..., :3, 3:]
+    Rt = jnp.swapaxes(R, -1, -2)
+    top = jnp.concatenate([Rt, -(Rt @ t)], axis=-1)  # [..., 3, 4]
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], T.dtype), T.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
 
 
 def se3_log(T: jnp.ndarray) -> jnp.ndarray:

@@ -19,15 +19,18 @@ TPU-native design:
     the reference instead skips edges dynamically (``slam/optimizer.py:276-289``)
     and zeroes OOB errors in C++ (``types_six_dof_expmap.cpp:684-692``).
   - Residuals use *bilinear* image sampling (the C++ casts to int — nearest).
-    Jacobians are exact but GATHER-FREE: forward-mode autodiff of the
-    reprojection geometry at the retraction's zero point, chained with the
-    bilinear interpolant's analytic image gradient — computed from the same
-    4 texels the residual pass fetches anyway and carried across LM
-    iterations (random gathers are the one op class TPUs do badly; the
-    13-tangent jacfwd must never touch the image). The reference's C++
-    analogue chain rule uses finite-difference image gradients
-    (``types_six_dof_expmap.cpp:702-797``); ours is exact for the
-    interpolant, i.e. equals jacfwd through the sampler.
+    Jacobians are exact AND closed form: the residual pass carries its full
+    edge geometry (reprojected point, relative rotation, bilinear image
+    gradient — from the same 4 texels it fetches anyway) across LM
+    iterations, and the linearization chains the analytic SE(3) point
+    Jacobians ``[I | −[X]ₓ]`` with the pinhole projection Jacobian and that
+    carried gradient — zero image gathers, zero autodiff machinery, zero
+    geometry recompute (random gathers are the one op class TPUs do badly).
+    Window poses are inverted once per frame (closed-form rigid inverse),
+    never per edge. The reference's C++ analogue chain rule uses
+    finite-difference image gradients
+    (``types_six_dof_expmap.cpp:702-797``); ours equals forward-mode
+    autodiff through the sampler (pinned by ``tests/test_ba.py``).
   - Gauss-Newton system: dense block Hessian assembled with scatter-adds;
     depth block eliminated by a Schur complement; the reduced (6(F-1))² pose
     system (<= 36x36 for the default 7-keyframe window) is solved with a
@@ -60,7 +63,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from deep_visual_slam_tpu.ops.se3 import se3_exp
+from deep_visual_slam_tpu.ops.se3 import se3_exp, se3_inv
 
 
 class BAProblem(NamedTuple):
@@ -306,6 +309,154 @@ def edge_jacobian(
     return J_dest, J_host, J_depth
 
 
+def _skew(v: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] -> [..., 3, 3] cross-product matrix."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zeros = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zeros, -z, y], axis=-1),
+            jnp.stack([z, zeros, -x], axis=-1),
+            jnp.stack([-y, x, zeros], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def bilinear_sample_many_grad(
+    images: jnp.ndarray, frame_idx: jnp.ndarray, uv: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched :func:`bilinear_sample_stack_grad`: frame_idx [E], uv [E, 2]
+    -> (I [E, C], dI/d(x,y) [E, C, 2]). Same 4-texel fetch, expressed as
+    batched gathers instead of a vmap of scalar samples."""
+    F, H, W, C = images.shape
+    x = jnp.clip(uv[:, 0], 0.0, W - 1.0)
+    y = jnp.clip(uv[:, 1], 0.0, H - 1.0)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    wx = (x - x0)[:, None]
+    wy = (y - y0)[:, None]
+    flat = images.reshape(F * H * W, C)
+    base = frame_idx * (H * W) + y0 * W + x0
+    v00 = flat[base]
+    v01 = flat[base + 1]
+    v10 = flat[base + W]
+    v11 = flat[base + W + 1]
+    val = (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (
+        v10 * (1 - wx) + v11 * wx
+    ) * wy
+    gx = (v01 - v00) * (1 - wy) + (v11 - v10) * wy
+    gy = (v10 - v00) * (1 - wx) + (v11 - v01) * wx
+    return val, jnp.stack([gx, gy], axis=-1)
+
+
+class EdgeGeometry(NamedTuple):
+    """Everything the closed-form linearization needs at the last accepted
+    evaluation point — carried across LM iterations so the Jacobian pass
+    recomputes NOTHING (no gathers, no reprojection)."""
+
+    gI: jnp.ndarray     # [E, C, 2] bilinear image gradient at uv_dest
+    R_rel: jnp.ndarray  # [E, 3, 3] dest<-host rotation
+    X_h: jnp.ndarray    # [E, 3] point in host camera frame
+    X_d: jnp.ndarray    # [E, 3] point in dest camera frame
+    ok: jnp.ndarray     # [E] in-bounds / valid-depth mask
+
+
+def edges_evaluate(
+    poses: jnp.ndarray,     # [F, 4, 4]
+    depths: jnp.ndarray,    # [P]
+    e_dest: jnp.ndarray,    # [E] int32
+    e_host: jnp.ndarray,    # [E] int32
+    e_point: jnp.ndarray,   # [E] int32
+    e_dir: jnp.ndarray,     # [E, 3] host unprojection ray (depth-1 point)
+    I_host_e: jnp.ndarray,  # [E, C] prefetched host intensities
+    images: jnp.ndarray,    # [F, H, W, C]
+    K: jnp.ndarray,
+) -> Tuple[jnp.ndarray, EdgeGeometry]:
+    """Batched residual pass at the CURRENT estimate (no retraction — the
+    perturbation is identically zero there, so no ``se3_exp`` is evaluated):
+    window poses are inverted ONCE per frame (closed form), relative
+    transforms come from one [F, F] pair table, and the 4-texel fetch also
+    yields the bilinear gradient. Returns (r [E, C], geometry carry)."""
+    F = poses.shape[0]
+    _, H, W, _ = images.shape
+    inv_poses = se3_inv(poses)
+    T_pair = jnp.einsum("aij,bjk->abik", poses, inv_poses)  # [F, F, 4, 4]
+    T_rel = T_pair[e_dest, e_host]  # [E, 4, 4]
+    R_rel = T_rel[:, :3, :3]
+
+    d = depths[e_point]
+    X_h = e_dir * d[:, None]
+    X_d = jnp.einsum("eij,ej->ei", R_rel, X_h) + T_rel[:, :3, 3]
+    z = jnp.maximum(X_d[:, 2], 1e-6)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    uv_dest = jnp.stack(
+        [X_d[:, 0] / z * fx + cx, X_d[:, 1] / z * fy + cy], axis=-1
+    )
+    ok = (
+        (uv_dest[:, 0] >= 1.0)
+        & (uv_dest[:, 0] <= W - 2.0)
+        & (uv_dest[:, 1] >= 1.0)
+        & (uv_dest[:, 1] <= H - 2.0)
+        & (X_d[:, 2] > 1e-3)
+        & (d > 1e-3)
+    )
+    I_dest, gI = bilinear_sample_many_grad(images, e_dest, uv_dest)
+    r = jnp.where(ok[:, None], I_dest - I_host_e, 0.0)
+    return r, EdgeGeometry(gI, R_rel, X_h, X_d, ok)
+
+
+def edges_jacobian(
+    geom: EdgeGeometry, e_dir: jnp.ndarray, K: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Closed-form GN Jacobians of every edge at the carried geometry —
+    ZERO image access, ZERO reprojection recompute, ZERO autodiff machinery.
+
+    With the left-multiplicative retraction ``T <- exp(xi)·T`` and
+    ``xi = [rho, phi]`` (``ops/se3.py``), the standard SE(3) point Jacobians
+    are ``dX_d/dxi_dest = [I | −[X_d]ₓ]`` and
+    ``dX_d/dxi_host = −R_rel·[I | −[X_h]ₓ]``; the pinhole projection adds
+    ``J_pi = [[fx/z, 0, −fx·x/z²], [0, fy/z, −fy·y/z²]]``. Chained with the
+    carried bilinear gradient gI this equals forward-mode autodiff through
+    the sampler (pinned against the jacfwd oracle by ``tests/test_ba.py::
+    test_closed_form_jacobian_matches_autodiff``); the reference's C++
+    analogue is ``linearizeOplus`` (``types_six_dof_expmap.cpp:702-797``)
+    with finite-difference image gradients.
+
+    Returns (J_dest [E, C, 6], J_host [E, C, 6], J_depth [E, C])."""
+    gI, R_rel, X_h, X_d, ok = geom
+    fx, fy = K[0, 0], K[1, 1]
+    z = jnp.maximum(X_d[:, 2], 1e-6)
+    iz = 1.0 / z
+    # J_pi [E, 2, 3]: projection Jacobian at X_d.
+    zeros = jnp.zeros_like(z)
+    Jpi = jnp.stack(
+        [
+            jnp.stack([fx * iz, zeros, -fx * X_d[:, 0] * iz * iz], axis=-1),
+            jnp.stack([zeros, fy * iz, -fy * X_d[:, 1] * iz * iz], axis=-1),
+        ],
+        axis=-2,
+    )
+    # uv_dest w.r.t. dest pose: J_pi · [I | −[X_d]ₓ]  ->  [E, 2, 6]
+    Ju_d = jnp.concatenate(
+        [Jpi, -jnp.einsum("eij,ejk->eik", Jpi, _skew(X_d))], axis=-1
+    )
+    # w.r.t. host pose: −J_pi·R_rel · [I | −[X_h]ₓ]
+    JpiR = jnp.einsum("eij,ejk->eik", Jpi, R_rel)  # [E, 2, 3]
+    Ju_h = jnp.concatenate(
+        [-JpiR, jnp.einsum("eij,ejk->eik", JpiR, _skew(X_h))], axis=-1
+    )
+    # w.r.t. depth: J_pi·R_rel·dir  ->  [E, 2]
+    Ju_z = jnp.einsum("eij,ej->ei", JpiR, e_dir)
+
+    okf = ok[:, None, None].astype(gI.dtype)
+    J_dest = okf * jnp.einsum("eci,eij->ecj", gI, Ju_d)
+    J_host = okf * jnp.einsum("eci,eij->ecj", gI, Ju_h)
+    J_depth = okf[..., 0] * jnp.einsum("eci,ei->ec", gI, Ju_z)
+    return J_dest, J_host, J_depth
+
+
 def huber_weight(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
     """IRLS weight of the Huber kernel: 1 inside delta, delta/|r| outside."""
     return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
@@ -342,6 +493,17 @@ def photometric_ba(
     e_weight = problem.weight[e_point]
 
     e_uv = problem.host_uv[e_point]
+    # Host unprojection rays are constant: precompute once per solve.
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    e_dir = jnp.stack(
+        [
+            (e_uv[:, 0] - cx) / fx,
+            (e_uv[:, 1] - cy) / fy,
+            jnp.ones_like(e_uv[:, 0]),
+        ],
+        axis=-1,
+    )  # [E, 3]
 
     # Host intensities never move (the host pixel is a constant): ONE fetch
     # for the whole optimization instead of one per evaluation pass.
@@ -349,41 +511,31 @@ def photometric_ba(
         lambda hi, uv: bilinear_sample_stack(images, hi, uv)
     )(e_host, e_uv)  # [E, C]
 
-    jac_fn = jax.vmap(
-        edge_jacobian, in_axes=(0, 0, 0, 0, 0, None, None)
-    )
-    res_fn = jax.vmap(
-        edge_residual_grad, in_axes=(0, 0, 0, 0, 0, 0, None, None)
-    )
-
     def evaluate(poses, depths):
-        """Residual pass: r, IRLS weights, cost, and the bilinear image
-        gradient gI at each reprojection — free from the texels the residual
-        fetches anyway, and exactly what the next linearization at this point
-        needs (g2o likewise only recomputes the error for the LM candidate,
+        """Residual pass: r, IRLS weights, cost, and the full edge geometry
+        at this point — exactly what the next linearization here needs
+        (g2o likewise only recomputes the error for the LM candidate,
         ``optimization_algorithm_levenberg.cpp:58-120``).
         """
-        r, valid, gI = res_fn(
-            poses[e_dest], poses[e_host], depths[e_point], e_uv,
-            I_host_e, e_dest, images, K,
+        r, geom = edges_evaluate(
+            poses, depths, e_dest, e_host, e_point, e_dir, I_host_e,
+            images, K,
         )
         r_norm = jnp.linalg.norm(r, axis=-1)
         w = (
             huber_weight(r_norm, huber_delta)
             * e_weight
             * e_mask.astype(jnp.float32)
-            * valid.astype(jnp.float32)
+            * geom.ok.astype(jnp.float32)
         )
         chi2 = jnp.sum(w * jnp.sum(r * r, axis=-1))
-        return r, w, chi2, gI
+        return r, w, chi2, geom
 
-    def linearize_jac(poses, depths, gI):
-        """Jacobians only — pure arithmetic, no image access; (r, w, gI) at
-        this point are carried in from the previous accepted evaluation."""
-        return jac_fn(
-            poses[e_dest], poses[e_host], depths[e_point], e_uv, gI,
-            images, K,
-        )
+    def linearize_jac(geom):
+        """Closed-form Jacobians at the carried geometry — pure arithmetic,
+        no image access, no reprojection recompute (see
+        :func:`edges_jacobian`)."""
+        return edges_jacobian(geom, e_dir, K)
 
     # One-hot edge->slot placement matrices, built once per solve. Scatter-add
     # with duplicate indices (the obvious `.at[e_dest, e_host].add(block)`)
@@ -463,17 +615,17 @@ def photometric_ba(
         return new_poses, depths + dz
 
     def lm_step(carry, _):
-        poses, depths, lam, r, w, chi2, gI = carry
-        # One gather-free Jacobian pass at the current point; (r, w, gI,
-        # chi2) carried from the last accepted evaluation of the same point.
-        Jd, Jh, Jz = linearize_jac(poses, depths, gI)
+        poses, depths, lam, r, w, chi2, geom = carry
+        # One closed-form Jacobian pass at the carried geometry; (r, w,
+        # geom, chi2) come from the last accepted evaluation of this point.
+        Jd, Jh, Jz = linearize_jac(geom)
         H_pp, H_pd, H_dd, b_p, b_d = build_system(r, w, Jd, Jh, Jz)
         dx_pose, dz = solve(H_pp, H_pd, H_dd, b_p, b_d, lam)
         cand_poses, cand_depths = retract(poses, depths, dx_pose, dz)
 
         # Residual-only candidate cost; a diverged (non-finite) candidate
         # must be rejected even though masking could zero its residuals.
-        r2, w2, chi2_new, gI2 = evaluate(cand_poses, cand_depths)
+        r2, w2, chi2_new, geom2 = evaluate(cand_poses, cand_depths)
         finite = (
             jnp.isfinite(chi2_new)
             & jnp.all(jnp.isfinite(cand_poses))
@@ -486,20 +638,22 @@ def photometric_ba(
         new_depths = jnp.where(accept, cand_depths, depths)
         new_r = jnp.where(accept, r2, r)
         new_w = jnp.where(accept, w2, w)
-        new_gI = jnp.where(accept, gI2, gI)
+        new_geom = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), geom2, geom
+        )
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-8, 1e6)
         new_chi2 = jnp.minimum(chi2_new, chi2)
         return (
-            new_poses, new_depths, lam, new_r, new_w, new_chi2, new_gI
+            new_poses, new_depths, lam, new_r, new_w, new_chi2, new_geom
         ), chi2
 
-    r0, w0, chi2_0, gI0 = evaluate(problem.poses, problem.depths)
+    r0, w0, chi2_0, geom0 = evaluate(problem.poses, problem.depths)
     (poses, depths, lam, _, _, chi2, _), chi2_hist = jax.lax.scan(
         lm_step,
         (
             problem.poses, problem.depths, jnp.asarray(init_lambda),
-            r0, w0, chi2_0, gI0,
+            r0, w0, chi2_0, geom0,
         ),
         None,
         length=num_iters,

@@ -178,16 +178,104 @@ def test_ba_first_pose_fixed():
 
 
 def test_ba_huber_downweights_outliers():
-    """A grossly corrupted point must not drag the solution (vs no-huber)."""
+    """A grossly corrupted point must not drag the solution: the run WITH
+    the outlier must land where the clean run lands. (Comparing against the
+    clean solution, not absolute truth: the single-plane fixture has the
+    plane-induced homography gauge ambiguity, so with exact rotation
+    Jacobians the optimizer may legally trade pose against depth — both
+    runs drift identically unless the outlier drags.)
+
+    The comparison is monocular-scale-aligned: the global scale gauge is
+    photometrically flat (depths x s, translations x s), so the outlier may
+    push along it freely — the eval harness's median-scale correction
+    removes it downstream, and what matters here is that the scene SHAPE
+    and scaled poses are untouched."""
     problem, truth = _make_problem(pose_noise=0.0, depth_noise=0.0)
+    clean_poses, clean_depths, _ = photometric_ba(problem, num_iters=8)
     depths = np.array(problem.depths)
     depths[0] = 8.0  # massive outlier depth
     p = problem._replace(depths=jnp.asarray(depths))
     poses, out_depths, diag = photometric_ba(p, num_iters=8)
-    # Other depths stay near truth despite the outlier.
+    cd = np.asarray(clean_depths)
+    out = np.asarray(out_depths)
+    s = np.median(cd[1:] / out[1:])
+    np.testing.assert_allclose(out[1:] * s, cd[1:], rtol=0.05)
     np.testing.assert_allclose(
-        np.asarray(out_depths)[1:], truth["depths"][1:], rtol=0.05
+        np.asarray(poses)[:, :3, 3] * s,
+        np.asarray(clean_poses)[:, :3, 3],
+        atol=5e-3,
     )
+    np.testing.assert_allclose(
+        np.asarray(poses)[:, :3, :3], np.asarray(clean_poses)[:, :3, :3],
+        atol=5e-3,
+    )
+
+
+def test_closed_form_jacobian_matches_autodiff():
+    """The production linearization (batched closed-form SE(3)/pinhole
+    Jacobians chained with the carried bilinear gradient,
+    `edges_evaluate` + `edges_jacobian`) must equal forward-mode autodiff
+    straight through the image sampler (`edge_residual`) — same derivative,
+    computed with zero gathers. Covers in-bounds AND out-of-bounds edges."""
+    from deep_visual_slam_tpu.slam.ba import (
+        bilinear_sample_stack,
+        edge_residual,
+        edges_evaluate,
+        edges_jacobian,
+    )
+
+    problem, _ = _make_problem(pose_noise=0.05, depth_noise=0.2)
+    images, K = problem.images, problem.K
+    zeros6 = jnp.zeros(6)
+    zero = jnp.zeros(())
+
+    e_point, e_dest = np.meshgrid(np.arange(P), np.arange(1, F), indexing="ij")
+    e_point, e_dest = e_point.ravel(), e_dest.ravel()
+    # Force some OOB edges: a large x-translation on the last few dest poses
+    # and a sub-threshold depth on one point.
+    poses = problem.poses.at[-1, 0, 3].add(5.0)
+    depths = problem.depths.at[3].set(5e-4)
+    e_host = jnp.zeros(len(e_point), jnp.int32)
+    e_dest = jnp.asarray(e_dest, jnp.int32)
+    e_point = jnp.asarray(e_point, jnp.int32)
+    uv = problem.host_uv[e_point]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    e_dir = jnp.stack(
+        [(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy, jnp.ones_like(uv[:, 0])],
+        axis=-1,
+    )
+    I_host = jax.vmap(
+        lambda hi, uv1: bilinear_sample_stack(images, hi, uv1)
+    )(e_host, uv)
+
+    r, geom = edges_evaluate(
+        poses, depths, e_dest, e_host, e_point, e_dir, I_host, images, K
+    )
+    Jd, Jh, Jz = edges_jacobian(geom, e_dir, K)
+    assert not bool(jnp.all(geom.ok)), "fixture should include OOB edges"
+
+    def ref_jac(Td, Th, d, uv1, hi, di):
+        f = lambda xi_d, xi_h, dd: edge_residual(  # noqa: E731
+            xi_d, xi_h, dd, Td, Th, d, uv1, hi, di, images, K
+        )[0]
+        return jax.jacfwd(f, argnums=(0, 1, 2))(zeros6, zeros6, zero)
+
+    Jd_ref, Jh_ref, Jz_ref = jax.vmap(
+        lambda di, pi, uv1, hi: ref_jac(
+            poses[di], poses[hi], depths[pi], uv1, hi, di
+        )
+    )(e_dest, e_point, uv, e_host)
+    r_ref, _ = jax.vmap(
+        lambda di, pi, uv1, hi: edge_residual(
+            zeros6, zeros6, zero, poses[di], poses[hi], depths[pi],
+            uv1, hi, di, images, K,
+        )
+    )(e_dest, e_point, uv, e_host)
+
+    np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Jd), np.asarray(Jd_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Jh), np.asarray(Jh_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(Jz), np.asarray(Jz_ref), atol=2e-4)
 
 
 def test_gather_free_jacobian_matches_autodiff_through_sampler():

@@ -75,3 +75,43 @@ def test_se3_exp_pure_translation():
     T = np.asarray(se3.se3_exp(xi))
     np.testing.assert_allclose(T[:3, :3], np.eye(3), atol=1e-6)
     np.testing.assert_allclose(T[:3, 3], [1.0, -2.0, 0.5], atol=1e-6)
+
+
+def test_se3_exp_derivative_at_zero_is_exact():
+    """d(se3_exp)/dxi at xi = 0 must be the exact Lie generators — this is
+    the point where the BA retraction linearizes EVERY iteration. The
+    reference-parity Rodrigues (`rotation_from_axisangle`, with the
+    ``angle + 1e-7`` axis normalization) scales this derivative by ~1e-5,
+    which silently froze BA rotation updates; `se3_exp` therefore uses a
+    series-safe form whose zero-point derivative is exact."""
+    import jax
+
+    J = np.asarray(jax.jacfwd(se3.se3_exp)(jnp.zeros(6)))  # [4, 4, 6]
+    # Translation part: dt/drho = I.
+    np.testing.assert_allclose(J[:3, 3, :3], np.eye(3), atol=1e-6)
+    # Rotation part: dR/dphi_k = k-th so(3) generator.
+    gen = np.zeros((3, 3, 3))
+    gen[0, 2, 1] = gen[1, 0, 2] = gen[2, 1, 0] = 1.0
+    gen[0, 1, 2] = gen[1, 2, 0] = gen[2, 0, 1] = -1.0
+    for k in range(3):
+        np.testing.assert_allclose(J[:3, :3, 3 + k], gen[k], atol=1e-6)
+
+
+def test_se3_exp_matches_scipy(rng):
+    """Value parity away from zero: rotation block equals scipy's rotvec
+    exponential, translation is the left-Jacobian action."""
+    xi = rng.normal(size=(16, 6)).astype(np.float32) * 0.6
+    T = np.asarray(se3.se3_exp(jnp.asarray(xi)))
+    R_ref = Rotation.from_rotvec(xi[:, 3:]).as_matrix()
+    np.testing.assert_allclose(T[:, :3, :3], R_ref, atol=1e-5)
+
+
+def test_se3_inv_closed_form(rng):
+    xi = rng.normal(size=(8, 6)).astype(np.float32)
+    T = se3.se3_exp(jnp.asarray(xi))
+    Tinv = np.asarray(se3.se3_inv(T))
+    np.testing.assert_allclose(
+        np.einsum("bij,bjk->bik", Tinv, np.asarray(T)),
+        np.broadcast_to(np.eye(4), (8, 4, 4)),
+        atol=1e-5,
+    )
