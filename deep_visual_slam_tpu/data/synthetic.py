@@ -271,6 +271,126 @@ def synthetic_slam_sequence(
     )
 
 
+def _hash_cells(ix: np.ndarray, iy: np.ndarray, salt: float) -> np.ndarray:
+    """Deterministic pseudo-random RGB per integer cell (GLSL-style trig
+    hash) — evaluable at ANY cell index with no stored texture raster."""
+    out = []
+    for k, mul in enumerate((12.9898, 39.3468, 73.156)):
+        v = np.sin(ix * mul + iy * (78.233 + 11.0 * k) + salt * 37.719) * 43758.5453
+        out.append(v - np.floor(v))
+    return np.stack(out, axis=-1).astype(np.float32)
+
+
+def _cell_texture(x: np.ndarray, y: np.ndarray, salt: float, cell: float) -> np.ndarray:
+    """Continuous high-contrast 'blocky' texture over world (x, y): bilinear
+    mix of hashed cell colors with a sharpened (but continuous) transition —
+    corners at every cell junction for the tracker, zero aliasing for the
+    photometric losses (a hard step sampled pointwise would make the frames
+    photometrically inconsistent at block edges)."""
+    u, v = x / cell, y / cell
+    iu, iv = np.floor(u), np.floor(v)
+    fu, fv = u - iu, v - iv
+    su = np.clip((fu - 0.35) / 0.3, 0.0, 1.0)[..., None]
+    sv = np.clip((fv - 0.35) / 0.3, 0.0, 1.0)[..., None]
+    c00 = _hash_cells(iu, iv, salt)
+    c01 = _hash_cells(iu + 1, iv, salt)
+    c10 = _hash_cells(iu, iv + 1, salt)
+    c11 = _hash_cells(iu + 1, iv + 1, salt)
+    top = c00 * (1 - su) + c01 * su
+    bot = c10 * (1 - su) + c11 * su
+    return top * (1 - sv) + bot * sv
+
+
+@_run_on_cpu
+def synthetic_multidepth_sequence(
+    n_frames: int,
+    height: int,
+    width: int,
+    seed: int = 0,
+    step_translation: float = 0.01,
+    step_rotation: float = 0.002,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Ray-cast camera sweep over a PIECEWISE-PLANAR scene: a background
+    plane plus raised foreground slabs at distinct depths, every frame an
+    exact analytic render (per-pixel ray/plane intersection + z-buffer,
+    texture evaluated at the world hit point — no warp, no interpolation
+    error).
+
+    Unlike :func:`synthetic_slam_sequence`'s single slanted plane — whose
+    (pose, depth) photometric cost has a flat plane-induced-homography
+    gauge family, making bundle adjustment unidentifiable — depth
+    discontinuities pin the geometry, so BA ablations on these scenes
+    measure real accuracy, not gauge drift. Returns
+    ``(frames [N, H, W, 3], K [4, 4], gt_T_cw [N, 4, 4],
+    depths [N, H, W])`` with exact metric GT depth per frame.
+    """
+    rng = np.random.default_rng(seed)
+    K = default_intrinsics(height, width)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    # Scene in the frame-0 camera frame (= world): fronto-parallel
+    # background + 3 foreground slabs. (x0, x1, y0, y1, z, cell, salt);
+    # background bounds are infinite.
+    inf = np.inf
+    slabs = [
+        (-inf, inf, -inf, inf, 3.2, 0.14, 1.0),
+        (-1.3, -0.15, -1.0, 0.35, 1.9, 0.09, 2.0),
+        (0.2, 1.5, -0.45, 1.0, 2.5, 0.11, 3.0),
+        (-0.5, 0.45, 0.5, 1.6, 1.6, 0.08, 4.0),
+    ]
+
+    u, v = np.meshgrid(
+        np.arange(width, dtype=np.float64), np.arange(height, dtype=np.float64)
+    )
+    d_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+
+    frames, depths, poses = [], [], []
+    T_cw = np.eye(4, dtype=np.float64)
+    for i in range(n_frames):
+        if i:
+            aa = rng.uniform(-step_rotation, step_rotation, size=(1, 3)).astype(
+                np.float32
+            )
+            t = rng.uniform(-step_translation, step_translation, size=(1, 3)).astype(
+                np.float32
+            )
+            T_rel = np.asarray(
+                transformation_from_parameters(jnp.asarray(aa), jnp.asarray(t))
+            )[0].astype(np.float64)
+            T_cw = T_rel @ T_cw
+        T_wc = np.linalg.inv(T_cw)
+        C = T_wc[:3, 3]
+        d_w = d_cam @ T_wc[:3, :3].T  # world ray dirs; |d_cam.z| = 1 => lam = cam depth
+
+        best_lam = np.full((height, width), 1e6)
+        img = np.zeros((height, width, 3), np.float32)
+        for (x0, x1, y0, y1, z0, cell, salt) in slabs:
+            dz = d_w[..., 2]
+            lam = (z0 - C[2]) / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+            Xx = C[0] + lam * d_w[..., 0]
+            Xy = C[1] + lam * d_w[..., 1]
+            hit = (
+                (lam > 1e-3)
+                & (lam < best_lam)
+                & (Xx >= x0) & (Xx <= x1) & (Xy >= y0) & (Xy <= y1)
+            )
+            if not hit.any():
+                continue
+            tex = _cell_texture(Xx[hit], Xy[hit], salt, cell)
+            img[hit] = tex
+            best_lam = np.where(hit, lam, best_lam)
+        frames.append(img)
+        depths.append(best_lam.astype(np.float32))
+        poses.append(T_cw.astype(np.float32).copy())
+
+    return (
+        np.stack(frames),
+        K.astype(np.float32),
+        np.stack(poses),
+        np.stack(depths),
+    )
+
+
 class SyntheticVoDataset:
     """Indexable synthetic snippet dataset with the SnippetDataset interface.
 

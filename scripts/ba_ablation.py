@@ -95,11 +95,22 @@ def main() -> None:
     ap.add_argument("--vo_ckpt", default=None,
                     help="orbax checkpoint dir from train_vo.py (optional)")
     ap.add_argument("--out_json", default="docs/ba_ablation_r03.json")
+    ap.add_argument("--scene", choices=("multidepth", "plane"),
+                    default="multidepth",
+                    help="multidepth (default): piecewise-planar ray-cast "
+                    "scenes — BA-identifiable geometry; plane: the single "
+                    "slanted plane (degenerate: plane-induced-homography "
+                    "gauge, kept for comparison)")
+    ap.add_argument("--step_translation", type=float, default=0.02)
+    ap.add_argument("--step_rotation", type=float, default=0.004)
     args = ap.parse_args()
     global H, W
     H, W = args.size
 
-    from deep_visual_slam_tpu.data.synthetic import synthetic_slam_sequence
+    from deep_visual_slam_tpu.data.synthetic import (
+        synthetic_multidepth_sequence,
+        synthetic_slam_sequence,
+    )
     from deep_visual_slam_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -116,10 +127,12 @@ def main() -> None:
     }
     record = {
         "provenance": {
-            "data": f"synthetic planar fixture scenes ({len(args.seeds)} "
+            "data": f"synthetic {args.scene} scenes ({len(args.seeds)} "
                     f"seeds x {args.frames} frames, {W}x{H}, "
-                    "step_translation=0.02 step_rotation=0.004 — same "
-                    "renderer as the parity fixtures)",
+                    f"step_translation={args.step_translation} "
+                    f"step_rotation={args.step_rotation}; multidepth = "
+                    "piecewise-planar ray-cast renders with exact GT "
+                    "depth/poses, BA-identifiable geometry)",
             "weights": provenance,
             "note": "no real Redwood data in this environment (zero "
                     "egress); synthetic scenes are photometrically "
@@ -130,10 +143,18 @@ def main() -> None:
     }
 
     for seed in args.seeds:
-        frames, K, gt_cw = synthetic_slam_sequence(
-            args.frames, H, W, seed=seed,
-            step_translation=0.02, step_rotation=0.004,
-        )
+        if args.scene == "multidepth":
+            frames, K, gt_cw, _ = synthetic_multidepth_sequence(
+                args.frames, H, W, seed=seed,
+                step_translation=args.step_translation,
+                step_rotation=args.step_rotation,
+            )
+        else:
+            frames, K, gt_cw = synthetic_slam_sequence(
+                args.frames, H, W, seed=seed,
+                step_translation=args.step_translation,
+                step_rotation=args.step_rotation,
+            )
         scene = {}
         for name, cfg in configs.items():
             traj, kf_ids, secs = run_once(

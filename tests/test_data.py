@@ -208,3 +208,39 @@ def test_packed_dataset_pickles(tmp_path):
     a = ds.__getitem__(0, np.random.default_rng(1))
     b = ds2.__getitem__(0, np.random.default_rng(1))
     np.testing.assert_allclose(a["target_image"], b["target_image"])
+
+
+def test_multidepth_sequence_geometry():
+    """The piecewise-planar ray-cast generator must be exactly
+    self-consistent: warping frame 1 into frame 0 with the emitted GT depth
+    and poses reproduces frame 0 away from occlusion boundaries (to the
+    bilinear-interpolation floor), and the scene must actually contain
+    multiple depth layers (that is its reason to exist — the single-plane
+    generator is BA-degenerate)."""
+    import jax.numpy as jnp
+
+    from deep_visual_slam_tpu.data.synthetic import synthetic_multidepth_sequence
+    from deep_visual_slam_tpu.ops import backproject, grid_sample, project
+
+    H, W = 96, 128
+    frames, K, poses, depths = synthetic_multidepth_sequence(3, H, W, seed=3)
+    assert frames.shape == (3, H, W, 3) and depths.shape == (3, H, W)
+    # Multiple distinct depth layers visible in frame 0.
+    layers = np.unique(np.round(depths[0], 2))
+    assert len(layers) >= 3, layers
+
+    d0 = jnp.asarray(depths[0][None])
+    Kb = jnp.asarray(K[None])
+    pts = backproject(d0, jnp.linalg.inv(Kb))
+    T_rel = jnp.asarray(poses[1] @ np.linalg.inv(poses[0]))[None]
+    grid = project(pts, Kb, T_rel)
+    warped = grid_sample(
+        jnp.asarray(frames[1][None]), grid, align_corners=True,
+        padding_mode="border",
+    )
+    err = np.abs(np.asarray(warped[0]) - frames[0])
+    gd = np.abs(np.gradient(depths[0])[0]) + np.abs(np.gradient(depths[0])[1])
+    interior = gd < 0.01
+    interior[:4] = interior[-4:] = False
+    interior[:, :4] = interior[:, -4:] = False
+    assert err[interior].mean() < 0.02
