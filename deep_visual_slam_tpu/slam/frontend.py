@@ -191,7 +191,9 @@ class Frame:
         self.pts: Dict[int, Point] = {}
 
         H, W = self.image.shape[:2]
-        assert all(0 <= x < W and 0 <= y < H for x, y in self.kps)
+        if len(self.kps):  # vectorized: a python all() loop here costs ~0.5 ms/frame
+            kp = np.asarray(self.kps)
+            assert kp.min() >= 0 and kp[:, 0].max() < W and kp[:, 1].max() < H
 
     def set_anchor(self, anchor: "Frame") -> None:
         """Fix this frame's pose to an anchor keyframe (itself for

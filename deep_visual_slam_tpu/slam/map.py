@@ -41,6 +41,10 @@ class Map:
         self.num_kf = num_kf
         self.alpha = alpha
         self.max_points = max_points
+        # Accumulated host wall time spent assembling BA problems (its own
+        # bucket: it is host work a local chip cannot hide, unlike the
+        # pipelined device solve).
+        self.build_s = 0.0
         # Device-resident image cache keyed by frame id: keyframe images are
         # uploaded once, not re-transferred on every windowed-BA call (25 MB
         # per call at 640x480xF=7 otherwise — the dominant cost over a
@@ -285,11 +289,17 @@ class Map:
         next frame, hiding one device round-trip per keyframe. Results are
         identical; they just land one frame later.
         """
+        import time as _time
+
         self.flush_ba()
         window = self.keyframes[-self.num_kf:]
+        _t0 = _time.perf_counter()
         built = self._build_problem(
             intrinsic, window, self.max_points, pad_frames=self.num_kf
         )
+        # Host-side problem-assembly cost, separated from the device solve
+        # (bench.py --slam folds it into the local-chip model).
+        self.build_s += _time.perf_counter() - _t0
         if built is None:
             return False
         problem, points = built

@@ -180,6 +180,7 @@ class MonoVO:
         }
         self.n_keyframes = 0
         self._prev_dev = None  # previous frame, already on device
+        self._zero_unc = None  # shared read-only zero uncertainty map
         if frontend not in ("klt", "orb"):
             raise ValueError(f"unknown frontend {frontend!r} (klt|orb)")
         self.frontend_kind = frontend
@@ -197,6 +198,17 @@ class MonoVO:
             )
         else:
             self.klt = None
+
+    def _zero_uncertainty(self, shape) -> np.ndarray:
+        """Shared read-only zero uncertainty map (the nets do not emit D3VO
+        uncertainty; allocating 1.2 MB of zeros per keyframe is pure waste).
+        Read-only so no caller can mutate the shared buffer in place."""
+        z = self._zero_unc
+        if z is None or z.shape != tuple(shape):
+            z = np.zeros(shape, np.float32)
+            z.flags.writeable = False
+            self._zero_unc = z
+        return z
 
     def process_frame(self, frame: np.ndarray, optimize: bool = True):
         """Run one RGB frame ([H, W, 3] float [0,1]) through the pipeline.
@@ -234,14 +246,9 @@ class MonoVO:
             pose_global = rel @ self.mp.frames[-1].current_pose()
         self._prev_dev = cur_dev
         a, b = 1.0, 0.0
-        t1 = _time.perf_counter()
-        self.timings["networks"] += t1 - t0
-
-        f = Frame(
-            self.mp, np.asarray(frame), depth,
-            None if depth is None else np.zeros_like(depth), pose_global,
-            (a, b), features=(self.klt.kps_int(), None),
-        )
+        # Keyframe decision BEFORE Frame construction (the score needs only
+        # tracked displacements + poses), so non-keyframes skip the host
+        # depth copy and uncertainty allocation entirely.
         if first:
             is_kf = True
         else:
@@ -249,13 +256,27 @@ class MonoVO:
                 pose_global, self.mp.keyframes[-1].pose
             )
             is_kf = score is None or score > 1.0
+        t1 = _time.perf_counter()
+        self.timings["networks"] += t1 - t0
+
+        kf_depth = None
+        if is_kf:
+            # Writable copy: the BA write-back mutates keyframe depth. Only
+            # keyframes carry host depth/uncertainty (the BA problem reads
+            # them); non-keyframes return the fetched (read-only) map as is.
+            src = depth if depth is not None else depth_dev[0]
+            kf_depth = np.array(src)
+            if depth is not None:
+                depth = kf_depth
+        f = Frame(
+            self.mp, np.asarray(frame), kf_depth,
+            self._zero_uncertainty(frame.shape[:2]) if is_kf else None,
+            pose_global, (a, b), features=(self.klt.kps_int(), None),
+        )
         detect_delta = 0.0
         if is_kf:
-            if f.depth is None:  # fetch_depth=False: BA needs host depth
-                # writable copy: the BA write-back mutates keyframe depth
-                f.depth = np.array(depth_dev[0])
-                f.uncertainty = np.zeros_like(f.depth)
-                depth = f.depth
+            if depth is None:
+                depth = kf_depth  # fetch_depth=False: keyframes still report
             det0 = self.klt.detect_s
             self.mp.register_keyframe(f)
             self.klt.register_keyframe(self.mp, f)
