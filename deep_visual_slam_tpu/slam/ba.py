@@ -63,7 +63,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from deep_visual_slam_tpu.ops.se3 import se3_exp, se3_inv
+from deep_visual_slam_tpu.ops.se3 import se3_exp, se3_inv, se3_log
 
 
 class BAProblem(NamedTuple):
@@ -457,6 +457,18 @@ def edges_jacobian(
     return J_dest, J_host, J_depth
 
 
+def se3_adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """Adjoint of SE(3) for the ``xi = [rho, phi]`` convention:
+    ``T·exp(xi)·T⁻¹ = exp(Ad_T·xi)`` with ``Ad_T = [[R, [t]ₓR], [0, R]]``
+    ([..., 4, 4] -> [..., 6, 6])."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    txR = _skew(t) @ R
+    top = jnp.concatenate([R, txR], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 def huber_weight(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
     """IRLS weight of the Huber kernel: 1 inside delta, delta/|r| outside."""
     return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
@@ -469,12 +481,53 @@ def photometric_ba(
     huber_delta: float = 0.11,
     init_lambda: float = 1e-4,
     fix_first: bool = True,
+    depth_damping: float = 0.0,
+    prior_weight: float = 0.0,
+    prior_rel: jnp.ndarray | None = None,
+    num_real: jnp.ndarray | None = None,
 ):
     """Run LM over the window; returns (poses, depths, diagnostics).
 
     num_iters matches the reference's windowed call ``opt.optimize(6)``
     (``slam/optimizer.py:222,292-294``); pass 20 for the global-BA variant
     (``slam/optimizer.py:99-220``).
+
+    ``prior_weight`` / ``prior_rel`` / ``num_real``: odometry relative-pose
+    prior between consecutive window frames — the D3VO formulation (the
+    network pose is an edge in the graph, not just the init; D3VO Eq. 15).
+    Residual ``r_i = log(T_{i+1}·T_i⁻¹·T̂_rel_i⁻¹)`` with first-order
+    Jacobians ``J_{i+1} = I``, ``J_i = −Ad(T_rel)``, weighted
+    ``prior_weight`` per unit (m / rad). ``prior_rel`` defaults to the
+    relative poses OF THE INIT (the odometry chain the SLAM driver
+    composed); ``num_real`` masks prior edges into padded frame slots.
+    Why it exists (measured, window 9 of the r03 oracle ablation): a
+    window frame observed by few photometric edges is near-unconstrained,
+    and once LM's lambda decays (1e-6 after an acceptance streak) a
+    texture-aliased step of 1.5 m / 32° on that frame gets ACCEPTED
+    because chi2 drops 6.86 -> 5.24. The prior makes that step cost
+    ``w·||log||² ~ w·2.25`` — rejected at any sane weight — while healthy
+    corrections (~1e-2) cost ~1e-4·w, i.e. nothing. Photometric evidence
+    still dominates wherever it exists.
+
+    ``depth_damping``: absolute floor added to the depth Hessian diagonal
+    inside the solve — pure step damping, NOT an energy term (an energy
+    prior anchored at the init breaks the monocular scale gauge: measured
+    huber-outlier pose diff 4e-2 at ANY nonzero prior weight vs 6e-4
+    without). The solver default stays 0 (pure LM, the g2o semantics);
+    the SLAM driver (``slam/map.py``) passes 1.0, and that choice is
+    measured, not aesthetic: at a 7-frame window with ~0.12 m total
+    baseline on 2–3 m geometry, per-point depth is photometrically
+    identifiable only to ~d²/(f·b) ≈ 0.3 m/px, and near-periodic texture
+    aliases whole periods — so with FREE depths LM walks a GT depth init
+    1.3 m off (59% of points >0.5 m) while chi2 falls, and pose error gets
+    WORSE than the odometry init (0.027 → 0.030). A floor of 1 keeps
+    weakly observable points (H_dd ~ eps²) effectively frozen while
+    strongly observable ones (H_dd ~ 10²–10³) move freely: pose error
+    0.027 → 0.009, and it stays best even when the depth init carries 15%
+    noise (err 0.0094 vs 0.030 at floor 0). The escape-proof acceptance
+    below closes the leave-the-image exploit but NOT texture aliasing —
+    damping is what makes BA *improve* trajectories (measured in
+    ``docs/ba_ablation_r03.json``).
     """
     F = problem.poses.shape[0]
     P = problem.depths.shape[0]
@@ -511,6 +564,25 @@ def photometric_ba(
         lambda hi, uv: bilinear_sample_stack(images, hi, uv)
     )(e_host, e_uv)  # [E, C]
 
+    # Odometry relative-pose prior (see docstring). Anchored at the INIT's
+    # relative poses unless the caller pins its own (the pyramid pins the
+    # original, pre-coarse-level chain).
+    if prior_rel is None:
+        prior_rel = problem.poses[1:] @ se3_inv(problem.poses[:-1])
+    prior_inv = se3_inv(prior_rel)  # [F-1, 4, 4]
+    if num_real is None:
+        p_mask = jnp.ones(F - 1, jnp.float32)
+    else:
+        p_mask = ((jnp.arange(F - 1) + 1) < num_real).astype(jnp.float32)
+    pw = jnp.asarray(prior_weight, jnp.float32) * p_mask  # [F-1]
+
+    def prior_eval(poses):
+        """Prior residuals, current relative poses, and prior cost."""
+        T_rel = poses[1:] @ se3_inv(poses[:-1])
+        r = se3_log(T_rel @ prior_inv)  # [F-1, 6]
+        cost = jnp.sum(pw * jnp.sum(r * r, axis=-1))
+        return r, T_rel, cost
+
     def evaluate(poses, depths):
         """Residual pass: r, IRLS weights, cost, and the full edge geometry
         at this point — exactly what the next linearization here needs
@@ -545,7 +617,7 @@ def photometric_ba(
     onehot_h = (e_host[:, None] == jnp.arange(F)[None, :]).astype(jnp.float32)
     onehot_p = (e_point[:, None] == jnp.arange(P)[None, :]).astype(jnp.float32)
 
-    def build_system(r, w, J_dest, J_host, J_depth):
+    def build_system(r, w, J_dest, J_host, J_depth, r_prior, T_rel):
         """Assemble the damped GN system via one-hot matmuls (zero scatters).
 
         Each edge touches two pose slots (dest, host); placing both into a
@@ -576,13 +648,31 @@ def photometric_ba(
         b_p = -jnp.einsum("ecfi,ec->fi", wJ_full, r)
         b_d = -(onehot_p.T @ jnp.einsum("ec,ec->e", wJz, r))
 
+        # Odometry-prior blocks (J_{i+1} = I, J_i = −Ad(T_rel); F-1 edges,
+        # each frame index touched once per .at group — no duplicate-index
+        # scatters).
+        Ad = se3_adjoint(T_rel)                      # [F-1, 6, 6]
+        AdTAd = jnp.einsum("fki,fkj->fij", Ad, Ad)   # AdᵀAd
+        AdTr = jnp.einsum("fji,fj->fi", Ad, r_prior)  # Adᵀ r
+        idx = jnp.arange(F - 1)
+        pwb = pw[:, None, None]
+        H_pp = H_pp.at[idx, idx].add(pwb * AdTAd)
+        H_pp = H_pp.at[idx + 1, idx + 1].add(pwb * jnp.eye(6))
+        H_pp = H_pp.at[idx + 1, idx].add(-pwb * Ad)
+        H_pp = H_pp.at[idx, idx + 1].add(
+            -pwb * jnp.swapaxes(Ad, -1, -2)
+        )
+        b_p = b_p.at[idx + 1].add(-pw[:, None] * r_prior)
+        b_p = b_p.at[idx].add(pw[:, None] * AdTr)
+
         return H_pp, H_pd, H_dd, b_p, b_d
 
     def solve(H_pp, H_pd, H_dd, b_p, b_d, lam):
-        # LM damping (g2o Levenberg adds lambda to the diagonal).
+        # LM damping (g2o Levenberg adds lambda to the diagonal) plus the
+        # absolute depth floor (see ``depth_damping`` in the docstring).
         eye6 = jnp.eye(6)
         H_pp = H_pp + lam * eye6[None, None] * jnp.eye(F)[:, :, None, None]
-        H_dd_d = H_dd + lam + 1e-10
+        H_dd_d = H_dd + lam + depth_damping + 1e-10
 
         # Schur complement onto poses.
         A = H_pd.reshape(P, F * 6)  # = H_dp^T rows
@@ -618,21 +708,39 @@ def photometric_ba(
         poses, depths, lam, r, w, chi2, geom = carry
         # One closed-form Jacobian pass at the carried geometry; (r, w,
         # geom, chi2) come from the last accepted evaluation of this point.
+        # chi2 is the TOTAL energy (photometric + prior).
         Jd, Jh, Jz = linearize_jac(geom)
-        H_pp, H_pd, H_dd, b_p, b_d = build_system(r, w, Jd, Jh, Jz)
+        r_pr, T_rel, _ = prior_eval(poses)
+        H_pp, H_pd, H_dd, b_p, b_d = build_system(
+            r, w, Jd, Jh, Jz, r_pr, T_rel
+        )
         dx_pose, dz = solve(H_pp, H_pd, H_dd, b_p, b_d, lam)
         cand_poses, cand_depths = retract(poses, depths, dx_pose, dz)
 
         # Residual-only candidate cost; a diverged (non-finite) candidate
         # must be rejected even though masking could zero its residuals.
         r2, w2, chi2_new, geom2 = evaluate(cand_poses, cand_depths)
+        _, _, prior_new = prior_eval(cand_poses)
+        # Escape-proof acceptance: a photometric edge that LEAVES validity
+        # (reprojects out of bounds / depth goes non-positive) keeps its
+        # PREVIOUS cost in the comparison. Otherwise LM can "improve" chi2
+        # by pushing a pose until its points fall off the image — the OOB
+        # zeroing that is correct for the residual (reference zeroes too,
+        # types_six_dof_expmap.cpp:684-692) is an exploit if it also zeroes
+        # the acceptance test (measured: oracle-init windows walked away
+        # from GT through exactly this channel). Prior edges can't escape —
+        # they enter both sides directly.
+        c_old = w * jnp.sum(r * r, axis=-1)
+        c_new = w2 * jnp.sum(r2 * r2, axis=-1)
+        escaped = geom.ok & ~geom2.ok
+        chi2_cmp = jnp.sum(jnp.where(escaped, c_old, c_new)) + prior_new
         finite = (
-            jnp.isfinite(chi2_new)
+            jnp.isfinite(chi2_cmp)
             & jnp.all(jnp.isfinite(cand_poses))
             & jnp.all(jnp.isfinite(cand_depths))
         )
-        chi2_new = jnp.where(finite, chi2_new, jnp.inf)
-        accept = chi2_new < chi2
+        chi2_cmp = jnp.where(finite, chi2_cmp, jnp.inf)
+        accept = chi2_cmp < chi2
 
         new_poses = jnp.where(accept, cand_poses, poses)
         new_depths = jnp.where(accept, cand_depths, depths)
@@ -643,19 +751,111 @@ def photometric_ba(
         )
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-8, 1e6)
-        new_chi2 = jnp.minimum(chi2_new, chi2)
+        # Carry the ACTUAL total energy of the accepted state (escaped
+        # edges are genuinely gone from it after acceptance).
+        new_chi2 = jnp.where(accept, chi2_new + prior_new, chi2)
         return (
             new_poses, new_depths, lam, new_r, new_w, new_chi2, new_geom
         ), chi2
 
     r0, w0, chi2_0, geom0 = evaluate(problem.poses, problem.depths)
+    _, _, prior_0 = prior_eval(problem.poses)
     (poses, depths, lam, _, _, chi2, _), chi2_hist = jax.lax.scan(
         lm_step,
         (
             problem.poses, problem.depths, jnp.asarray(init_lambda),
-            r0, w0, chi2_0, geom0,
+            r0, w0, chi2_0 + prior_0, geom0,
         ),
         None,
         length=num_iters,
     )
     return poses, depths, {"chi2": chi2, "chi2_history": chi2_hist, "lambda": lam}
+
+
+@partial(
+    jax.jit, static_argnames=("scale", "num_iters", "fix_first")
+)
+def photometric_ba_scaled(
+    problem: BAProblem,
+    scale: int = 1,
+    num_iters: int = 6,
+    huber_delta: float = 0.11,
+    init_lambda: float = 1e-4,
+    fix_first: bool = True,
+    depth_damping: float = 0.0,
+    prior_weight: float = 0.0,
+    prior_rel: "jnp.ndarray | None" = None,
+    num_real: "jnp.ndarray | None" = None,
+):
+    """:func:`photometric_ba` on a ``scale``-times-downsampled problem.
+
+    Images are average-pooled (exact s x s box filter — one reshape-mean,
+    no gathers), intrinsics and host pixels follow the pixel-CENTER
+    convention ``x' = (x + 0.5)/s − 0.5``, and the whole
+    downsample-plus-solve is ONE jitted program (one device dispatch —
+    matters at ~100 ms RPC per dispatch over a tunnelled chip). Depth,
+    poses and the photometric Huber threshold are scale-invariant.
+    """
+    if scale == 1:
+        return photometric_ba(
+            problem, num_iters=num_iters, huber_delta=huber_delta,
+            init_lambda=init_lambda, fix_first=fix_first,
+            depth_damping=depth_damping, prior_weight=prior_weight,
+            prior_rel=prior_rel, num_real=num_real,
+        )
+    F, H, W, C = problem.images.shape
+    s = scale
+    images = problem.images[:, : (H // s) * s, : (W // s) * s].reshape(
+        F, H // s, s, W // s, s, C
+    ).mean(axis=(2, 4))
+    K = problem.K
+    K_s = K.at[0, 0].set(K[0, 0] / s)
+    K_s = K_s.at[1, 1].set(K[1, 1] / s)
+    K_s = K_s.at[0, 2].set((K[0, 2] + 0.5) / s - 0.5)
+    K_s = K_s.at[1, 2].set((K[1, 2] + 0.5) / s - 0.5)
+    scaled = problem._replace(
+        images=images, K=K_s, host_uv=(problem.host_uv + 0.5) / s - 0.5
+    )
+    # The prior lives in metric/angle units — scale-invariant, untouched.
+    return photometric_ba(
+        scaled, num_iters=num_iters, huber_delta=huber_delta,
+        init_lambda=init_lambda, fix_first=fix_first,
+        depth_damping=depth_damping, prior_weight=prior_weight,
+        prior_rel=prior_rel, num_real=num_real,
+    )
+
+
+def photometric_ba_pyramid(
+    problem: BAProblem,
+    levels: Tuple[int, ...] = (4, 2, 1),
+    iters_per_level: Tuple[int, ...] = (4, 4, 6),
+    huber_delta: float = 0.11,
+    fix_first: bool = True,
+    depth_damping: float = 0.0,
+    prior_weight: float = 0.0,
+    num_real: "jnp.ndarray | None" = None,
+):
+    """Coarse-to-fine LM: solve at each pyramid level (coarsest first),
+    carrying (poses, depths) down — the classical direct-method answer to
+    the single-scale basin problem (DSO-style; the bilinear linearization
+    is only valid within ~1 px at each level, so the 4x level converges
+    from ~4x larger initial flow). One device dispatch per level.
+
+    The reference has no analogue — its g2o graph is single-scale because
+    its networks are trained, so the init is already inside the basin; this
+    wrapper is what lets the SAME backend also converge from weak inits.
+    """
+    poses, depths = problem.poses, problem.depths
+    # Pin the prior at the ORIGINAL odometry chain: a coarse level must not
+    # re-anchor the finer levels at its own (partially converged) output.
+    prior_rel = problem.poses[1:] @ se3_inv(problem.poses[:-1])
+    diag = None
+    for s, it in zip(levels, iters_per_level):
+        problem = problem._replace(poses=poses, depths=depths)
+        poses, depths, diag = photometric_ba_scaled(
+            problem, scale=int(s), num_iters=int(it),
+            huber_delta=huber_delta, fix_first=fix_first,
+            depth_damping=depth_damping, prior_weight=prior_weight,
+            prior_rel=prior_rel, num_real=num_real,
+        )
+    return poses, depths, diag

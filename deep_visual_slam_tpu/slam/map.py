@@ -27,12 +27,24 @@ from typing import Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from deep_visual_slam_tpu.slam.ba import BAProblem, photometric_ba
+from deep_visual_slam_tpu.slam.ba import (
+    BAProblem,
+    photometric_ba,
+    photometric_ba_pyramid,
+)
 from deep_visual_slam_tpu.slam.frontend import Frame, Point, match_frame_kps
 
 
 class Map:
-    def __init__(self, alpha: float = 0.5, num_kf: int = 7, max_points: int = 256):
+    def __init__(
+        self,
+        alpha: float = 0.5,
+        num_kf: int = 7,
+        max_points: int = 256,
+        ba_levels: Tuple[int, ...] = (1,),
+        depth_damping: float = 1.0,
+        pose_prior_weight: float = 1e3,
+    ):
         self.frames: List[Frame] = []
         self.points: List[Point] = []
         self.keyframes: List[Frame] = []
@@ -41,6 +53,25 @@ class Map:
         self.num_kf = num_kf
         self.alpha = alpha
         self.max_points = max_points
+        # BA pyramid levels, coarsest first; (1,) = single-scale (the
+        # reference regime — trained nets put the init inside the bilinear
+        # basin). (4, 2, 1) converges from ~4x larger initial flow (weak /
+        # untrained inits) at three device dispatches per solve instead of
+        # one (see ``ba.photometric_ba_pyramid``).
+        self.ba_levels = tuple(ba_levels)
+        # Depth-Hessian floor for the windowed/global solves. 1.0 treats the
+        # network depth as a strong prior (the D3VO regime): at SLAM window
+        # baselines per-point depth is photometrically identifiable only to
+        # ~0.3 m/px and near-periodic texture aliases, so free depths (0.0)
+        # measurably WORSEN poses while 1.0 improves them ~3x — see the
+        # ``photometric_ba`` docstring and docs/ba_ablation_r03.json.
+        self.depth_damping = float(depth_damping)
+        # Odometry relative-pose prior weight (D3VO Eq. 15: the network
+        # pose is an edge, not just the init). 1e3 measured best on both
+        # the oracle ablation and the captured runaway window — see the
+        # ``photometric_ba`` docstring for the failure it closes (a
+        # weakly-observed frame taking an accepted 1.5 m aliased step).
+        self.pose_prior_weight = float(pose_prior_weight)
         # Accumulated host wall time spent assembling BA problems (its own
         # bucket: it is host work a local chip cannot hide, unlike the
         # pipelined device solve).
@@ -303,7 +334,19 @@ class Map:
         if built is None:
             return False
         problem, points = built
-        poses, depths, diag = photometric_ba(problem, num_iters=iters)
+        n_real = jnp.asarray(len(window), jnp.int32)
+        if self.ba_levels == (1,):
+            poses, depths, diag = photometric_ba(
+                problem, num_iters=iters, depth_damping=self.depth_damping,
+                prior_weight=self.pose_prior_weight, num_real=n_real,
+            )
+        else:
+            poses, depths, diag = photometric_ba_pyramid(
+                problem, levels=self.ba_levels,
+                iters_per_level=(iters,) * len(self.ba_levels),
+                depth_damping=self.depth_damping,
+                prior_weight=self.pose_prior_weight, num_real=n_real,
+            )
         if verbose:
             print(f"windowed BA chi2: {float(diag['chi2']):.6f}")
         if pipelined and not verbose:
@@ -335,12 +378,24 @@ class Map:
         if built is None:
             return False
         problem, points = built
+        n_real = jnp.asarray(len(frames), jnp.int32)
         poses, depths = problem.poses, problem.depths
         for stage in range(3):
             problem = problem._replace(poses=poses, depths=depths)
-            poses, depths, diag = photometric_ba(
-                problem, num_iters=max(iters // 3, 1)
-            )
+            if self.ba_levels == (1,):
+                poses, depths, diag = photometric_ba(
+                    problem, num_iters=max(iters // 3, 1),
+                    depth_damping=self.depth_damping,
+                    prior_weight=self.pose_prior_weight, num_real=n_real,
+                )
+            else:
+                poses, depths, diag = photometric_ba_pyramid(
+                    problem, levels=self.ba_levels,
+                    iters_per_level=(max(iters // 3, 1),)
+                    * len(self.ba_levels),
+                    depth_damping=self.depth_damping,
+                    prior_weight=self.pose_prior_weight, num_real=n_real,
+                )
             if verbose:
                 print(f"global BA stage {stage + 1}: chi2 {float(diag['chi2']):.6f}")
         self._write_back(frames, points, poses[: len(frames)], depths)

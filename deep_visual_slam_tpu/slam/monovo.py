@@ -170,9 +170,14 @@ class MonoVO:
         max_points: int = 256,
         frontend: str = "klt",
         fetch_depth: bool = True,
+        ba_levels=(1,),
+        depth_damping: float = 1.0,
+        pose_prior_weight: float = 1e3,
     ):
         self.intrinsic = np.asarray(intrinsic)
-        self.mp = Map(num_kf=num_kf, max_points=max_points)
+        self.mp = Map(num_kf=num_kf, max_points=max_points,
+                      ba_levels=ba_levels, depth_damping=depth_damping,
+                      pose_prior_weight=pose_prior_weight)
         self.nn = networks or Networks(image_shape=image_shape)
         # Cumulative per-stage wall time (seconds) for `bench.py --slam`.
         self.timings = {
@@ -210,19 +215,41 @@ class MonoVO:
             self._zero_unc = z
         return z
 
-    def process_frame(self, frame: np.ndarray, optimize: bool = True):
+    def process_frame(
+        self,
+        frame: np.ndarray,
+        optimize: bool = True,
+        oracle_depth: Optional[np.ndarray] = None,
+        oracle_rel: Optional[np.ndarray] = None,
+    ):
         """Run one RGB frame ([H, W, 3] float [0,1]) through the pipeline.
 
         Dispatches on the configured frontend; both paths share the Map
         backend (windowed photometric BA) and return
         ``(depth, uncertainty, pose_global, a, b)``.
+
+        ``oracle_depth`` / ``oracle_rel`` (KLT path only) override the
+        network depth map / relative prev->cur pose for THIS frame — the
+        backend-isolation hook used by ``scripts/ba_ablation.py`` to
+        evaluate the BA backend from a controlled (e.g. GT-plus-noise)
+        initialization, independent of network training state.
         """
         if self.klt is not None:
-            return self._process_frame_klt(frame, optimize)
+            return self._process_frame_klt(
+                frame, optimize, oracle_depth, oracle_rel
+            )
+        if oracle_depth is not None or oracle_rel is not None:
+            raise ValueError("oracle injection requires the KLT frontend")
         return self._process_frame_orb(frame, optimize)
 
     # ------------------------------------------------------------ KLT path
-    def _process_frame_klt(self, frame: np.ndarray, optimize: bool):
+    def _process_frame_klt(
+        self,
+        frame: np.ndarray,
+        optimize: bool,
+        oracle_depth: Optional[np.ndarray] = None,
+        oracle_rel: Optional[np.ndarray] = None,
+    ):
         """TPU-native per-frame step: ONE fused device dispatch computes
         depth + relative pose + LK track updates; the host only does pose
         composition and Frame/Point bookkeeping (microseconds). Keyframe
@@ -235,12 +262,21 @@ class MonoVO:
         first = len(self.mp.frames) == 0
         depth_dev = None
         if first:
-            depth = self.nn.depth(frame)
+            depth = (
+                np.asarray(oracle_depth, np.float32)
+                if oracle_depth is not None
+                else self.nn.depth(frame)
+            )
             pose_global = np.eye(4)
             self.klt.init_first(cur_dev)
         else:
             depth_dev, rel = self.klt.step(self._prev_dev, cur_dev)
-            depth = np.asarray(depth_dev[0]) if self.fetch_depth else None
+            if oracle_depth is not None:
+                depth = np.asarray(oracle_depth, np.float32)
+            else:
+                depth = np.asarray(depth_dev[0]) if self.fetch_depth else None
+            if oracle_rel is not None:
+                rel = np.asarray(oracle_rel, np.float64)
             # Chain off the previous frame's REFRESHED pose so pipelined BA
             # corrections that landed since feed forward into the odometry.
             pose_global = rel @ self.mp.frames[-1].current_pose()

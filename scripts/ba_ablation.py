@@ -49,14 +49,68 @@ def load_networks(vo_ckpt: str | None, image_shape):
     )
 
 
-def run_once(nn_factory, frames, K, optimize: bool, global_ba: bool):
+def _perturb_rel(rel: np.ndarray, rot_noise: np.ndarray,
+                 trans_noise: np.ndarray) -> np.ndarray:
+    """Left-compose a rotation perturbation (Rodrigues of ``rot_noise``) and
+    add ``trans_noise`` — the odometry-noise model for oracle-init runs."""
+    th = float(np.linalg.norm(rot_noise))
+    if th < 1e-12:
+        R = np.eye(3)
+    else:
+        k = rot_noise / th
+        Kx = np.array(
+            [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0.0]]
+        )
+        R = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+    out = np.array(rel, np.float64)
+    out[:3, :3] = R @ out[:3, :3]
+    out[:3, 3] = out[:3, 3] + trans_noise
+    return out
+
+
+def make_oracle_inits(gt_cw, gt_depths, seed, rot_std_deg, trans_std,
+                      depth_noise):
+    """Per-frame (oracle_depth, oracle_rel) lists: GT depth (optionally with
+    multiplicative noise) + GT relative poses perturbed by odometry noise.
+    Deterministic per (scene seed) so every BA config sees the SAME noisy
+    initialization — the comparison isolates the backend."""
+    rng = np.random.default_rng(10_000 + seed)
+    n = len(gt_cw)
+    depths, rels = [], [None]
+    for i in range(n):
+        d = np.asarray(gt_depths[i], np.float32)
+        if depth_noise > 0:
+            d = d * (1.0 + rng.normal(0, depth_noise, d.shape)).astype(
+                np.float32
+            )
+        depths.append(d)
+        if i > 0:
+            rel = gt_cw[i] @ np.linalg.inv(gt_cw[i - 1])
+            rels.append(
+                _perturb_rel(
+                    rel,
+                    rng.normal(0, np.deg2rad(rot_std_deg), 3),
+                    rng.normal(0, trans_std, 3),
+                )
+            )
+    return depths, rels
+
+
+def run_once(nn_factory, frames, K, optimize: bool, global_ba: bool,
+             ba_levels=(1,), oracle=None, depth_damping=1.0,
+             pose_prior_weight=1e3):
     """One SLAM pass; returns (traj T_wc [N,4,4], keyframe ids, seconds)."""
     from deep_visual_slam_tpu.slam import MonoVO
 
-    vo = MonoVO(K, image_shape=(H, W), networks=nn_factory())
+    vo = MonoVO(K, image_shape=(H, W), networks=nn_factory(),
+                ba_levels=ba_levels, depth_damping=depth_damping,
+                pose_prior_weight=pose_prior_weight)
     t0 = time.perf_counter()
-    for f in frames:
-        vo.process_frame(f, optimize=optimize)
+    for i, f in enumerate(frames):
+        kw = {}
+        if oracle is not None:
+            kw = dict(oracle_depth=oracle[0][i], oracle_rel=oracle[1][i])
+        vo.process_frame(f, optimize=optimize, **kw)
     if global_ba and len(vo.mp.keyframes) >= 2:
         vo.mp.global_bundle_adjustment(K, verbose=False)
     elapsed = time.perf_counter() - t0
@@ -103,6 +157,28 @@ def main() -> None:
                     "gauge, kept for comparison)")
     ap.add_argument("--step_translation", type=float, default=0.02)
     ap.add_argument("--step_rotation", type=float, default=0.004)
+    ap.add_argument("--init", choices=("net", "oracle"), default="net",
+                    help="net: the real pipeline (network depth + pose); "
+                    "oracle: GT depth + GT-relative-pose odometry with "
+                    "injected noise — isolates the BA backend from network "
+                    "training state (multidepth scenes only)")
+    ap.add_argument("--rot_noise_deg", type=float, default=0.3,
+                    help="oracle init: per-frame rotation noise std (deg)")
+    ap.add_argument("--trans_noise", type=float, default=0.005,
+                    help="oracle init: per-frame translation noise std (m)")
+    ap.add_argument("--depth_noise", type=float, default=0.0,
+                    help="oracle init: multiplicative depth noise std")
+    ap.add_argument("--ba_levels", type=int, nargs="+", default=[1],
+                    help="BA pyramid levels, coarsest first (e.g. 4 2 1); "
+                    "default single-scale")
+    ap.add_argument("--depth_damping", type=float, default=1.0,
+                    help="depth-Hessian floor (Map default 1.0 — network "
+                    "depth as a strong prior; 0.0 = free depths, measurably "
+                    "worse, see ba.photometric_ba docstring)")
+    ap.add_argument("--pose_prior_weight", type=float, default=1e3,
+                    help="odometry relative-pose prior weight (D3VO Eq. 15;"
+                    " 0.0 disables — weakly-observed frames then take "
+                    "accepted aliased steps, see ba.photometric_ba)")
     args = ap.parse_args()
     global H, W
     H, W = args.size
@@ -134,6 +210,15 @@ def main() -> None:
                     "piecewise-planar ray-cast renders with exact GT "
                     "depth/poses, BA-identifiable geometry)",
             "weights": provenance,
+            "init": args.init,
+            "ba_levels": list(args.ba_levels),
+            "depth_damping": args.depth_damping,
+            "pose_prior_weight": args.pose_prior_weight,
+            "oracle_noise": (
+                dict(rot_deg=args.rot_noise_deg, trans=args.trans_noise,
+                     depth=args.depth_noise)
+                if args.init == "oracle" else None
+            ),
             "note": "no real Redwood data in this environment (zero "
                     "egress); synthetic scenes are photometrically "
                     "consistent so photometric BA is well-posed on them",
@@ -142,9 +227,12 @@ def main() -> None:
         "mean": {},
     }
 
+    if args.init == "oracle" and args.scene != "multidepth":
+        ap.error("--init oracle requires --scene multidepth (needs GT depth)")
+
     for seed in args.seeds:
         if args.scene == "multidepth":
-            frames, K, gt_cw, _ = synthetic_multidepth_sequence(
+            frames, K, gt_cw, gt_depths = synthetic_multidepth_sequence(
                 args.frames, H, W, seed=seed,
                 step_translation=args.step_translation,
                 step_rotation=args.step_rotation,
@@ -155,10 +243,19 @@ def main() -> None:
                 step_translation=args.step_translation,
                 step_rotation=args.step_rotation,
             )
+        oracle = None
+        if args.init == "oracle":
+            oracle = make_oracle_inits(
+                gt_cw, gt_depths, seed, args.rot_noise_deg,
+                args.trans_noise, args.depth_noise,
+            )
         scene = {}
         for name, cfg in configs.items():
             traj, kf_ids, secs = run_once(
-                nn_factory, frames, K, cfg["optimize"], cfg["global_ba"]
+                nn_factory, frames, K, cfg["optimize"], cfg["global_ba"],
+                ba_levels=tuple(args.ba_levels), oracle=oracle,
+                depth_damping=args.depth_damping,
+                pose_prior_weight=args.pose_prior_weight,
             )
             m = evaluate(traj, gt_cw, kf_ids)
             m["seconds"] = round(secs, 1)

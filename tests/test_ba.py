@@ -122,9 +122,14 @@ def test_ba_zero_noise_stays_at_optimum():
     problem, truth = _make_problem(pose_noise=0.0, depth_noise=0.0)
     poses, depths, diag = photometric_ba(problem, num_iters=3)
     # Already at the optimum: cost stays at the bilinear-sampling floor and
-    # the state barely moves.
+    # the state barely moves. The 2e-3 tolerance is the interpolation-noise
+    # floor: the rendered views are exact but the solver samples them
+    # bilinearly, so the photometric optimum sits O(1e-3) off GT and which
+    # noise-floor steps LM accepts depends on acceptance bookkeeping
+    # (measured 9e-4 with plain acceptance, 1.8e-3 with the escape-proof
+    # rule — both fitting the same floor, neither a convergence failure).
     assert float(diag["chi2"]) < 0.01
-    np.testing.assert_allclose(np.asarray(poses), truth["poses"], atol=1e-3)
+    np.testing.assert_allclose(np.asarray(poses), truth["poses"], atol=2e-3)
     np.testing.assert_allclose(np.asarray(depths), truth["depths"], rtol=0.02)
 
 
@@ -340,3 +345,204 @@ def test_gather_free_jacobian_matches_autodiff_through_sampler():
     np.testing.assert_allclose(np.asarray(Jd), np.asarray(Jd_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(Jh), np.asarray(Jh_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(Jz), np.asarray(Jz_ref), atol=2e-4)
+
+
+def test_ba_pyramid_converges_from_coarse_basin():
+    """Coarse-to-fine BA (``photometric_ba_pyramid``) must converge from a
+    perturbation whose initial flow exceeds the single-scale bilinear basin
+    (~1 px), and the scaled solve must be exactly the base solver at s=1.
+    The escape-proof acceptance rule is load-bearing here: without it a
+    coarse level can 'improve' chi2 by pushing points off the image."""
+    from deep_visual_slam_tpu.slam.ba import (
+        photometric_ba_pyramid,
+        photometric_ba_scaled,
+    )
+
+    problem, truth = _make_problem(pose_noise=0.03, depth_noise=0.05)
+
+    def pose_err(Ts):
+        return np.mean(
+            [np.linalg.norm(np.asarray(Ts[i]) - truth["poses"][i]) for i in range(1, F)]
+        )
+
+    err_init = pose_err(problem.poses)
+    poses, depths, diag = photometric_ba_pyramid(
+        problem, levels=(2, 1), iters_per_level=(6, 6)
+    )
+    assert np.all(np.isfinite(np.asarray(poses)))
+    assert pose_err(poses) < 0.6 * err_init, (err_init, pose_err(poses))
+
+    # s=1 passthrough is the base solver bit-for-bit.
+    p1, d1, _ = photometric_ba_scaled(problem, scale=1, num_iters=4)
+    p2, d2, _ = photometric_ba(problem, num_iters=4)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_ba_scaled_intrinsics_zero_noise():
+    """At scale 2 with a zero-noise init, the downsampled solve must stay
+    near the optimum, AND the pixel-center intrinsics rescale must beat the
+    naive ``cx/s`` (half-pixel-shifted) convention on initial chi2.
+
+    The pose atol is 1e-2, not the scale-1 2e-3: box-filtering the rendered
+    views shifts the photometric optimum of the DOWNSAMPLED problem by its
+    own interpolation floor (measured: 5.9e-3 max pose drift at s=2 with
+    the correct convention, 2.2e-2 initial chi2 vs 2.7e-3 at s=1). The
+    convention itself is pinned by the chi2 comparison below — at a GT
+    init the correct rescale must photometrically out-align a deliberate
+    half-pixel cx/cy error (measured 0.0219 vs 0.0342, deterministic)."""
+    from deep_visual_slam_tpu.slam.ba import (
+        photometric_ba,
+        photometric_ba_scaled,
+    )
+
+    problem, truth = _make_problem(pose_noise=0.0, depth_noise=0.0)
+    poses, depths, diag = photometric_ba_scaled(problem, scale=2, num_iters=3)
+    np.testing.assert_allclose(np.asarray(poses), truth["poses"], atol=1e-2)
+    np.testing.assert_allclose(np.asarray(depths), truth["depths"], rtol=0.05)
+
+    # Pin the convention: initial chi2 (history[0]) under the correct
+    # pixel-center rescale vs the naive cx/s one, same downsampled images.
+    chi2_ok = float(diag["chi2_history"][0])
+    Fn, H, W, _ = problem.images.shape
+    s = 2
+    images = problem.images[:, : (H // s) * s, : (W // s) * s].reshape(
+        Fn, H // s, s, W // s, s, -1
+    ).mean(axis=(2, 4))
+    K = problem.K
+    K_bad = (
+        K.at[0, 0].set(K[0, 0] / s)
+        .at[1, 1].set(K[1, 1] / s)
+        .at[0, 2].set(K[0, 2] / s)
+        .at[1, 2].set(K[1, 2] / s)
+    )
+    broken = problem._replace(
+        images=images, K=K_bad, host_uv=problem.host_uv / s
+    )
+    _, _, diag_bad = photometric_ba(broken, num_iters=1)
+    chi2_bad = float(diag_bad["chi2_history"][0])
+    assert chi2_ok < 0.8 * chi2_bad, (chi2_ok, chi2_bad)
+
+
+def test_depth_damping_makes_ba_improve_poses_on_multidepth():
+    """THE ablation claim, pinned as a test (docs/ba_ablation_r03.json):
+    on identifiable multidepth geometry with noisy-odometry poses and a GT
+    depth init, damped BA (``depth_damping=1``, the Map default) must
+    IMPROVE mean pose error, while free depths (``0.0``) walk the depths
+    off (texture aliasing at SLAM-window baselines — see the
+    ``photometric_ba`` docstring) and must show the measured >0.3 m mean
+    depth drift that motivates the default."""
+    from deep_visual_slam_tpu.data.synthetic import (
+        synthetic_multidepth_sequence,
+    )
+    from deep_visual_slam_tpu.slam.ba import photometric_ba_pyramid
+
+    Fh, Hh, Ww = 5, 96, 128
+    frames, K, gt_cw, gt_depths = synthetic_multidepth_sequence(
+        Fh, Hh, Ww, seed=7, step_translation=0.02, step_rotation=0.004
+    )
+    rng = np.random.default_rng(3)
+    poses = [gt_cw[0].copy()]
+    for i in range(1, Fh):
+        rel = gt_cw[i] @ np.linalg.inv(gt_cw[i - 1])
+        aa = rng.normal(0, np.deg2rad(0.3), 3)
+        th = np.linalg.norm(aa)
+        k = aa / max(th, 1e-12)
+        Kx = np.array(
+            [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0.0]]
+        )
+        R = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * (Kx @ Kx)
+        rel = np.array(rel)
+        rel[:3, :3] = R @ rel[:3, :3]
+        rel[:3, 3] += rng.normal(0, 0.005, 3)
+        poses.append(rel @ poses[-1])
+    poses = np.stack(poses).astype(np.float32)
+
+    Pn = 128
+    ys = np.linspace(8, Hh - 9, 12).astype(int)
+    xs = np.linspace(8, Ww - 9, 12).astype(int)
+    uv = np.array([(x, y) for y in ys for x in xs], np.float32)[:Pn]
+    d_gt = np.array(
+        [gt_depths[0][int(v), int(u)] for u, v in uv], np.float32
+    )
+    problem = BAProblem(
+        images=jnp.asarray(frames, jnp.float32),
+        K=jnp.asarray(K, jnp.float32),
+        poses=jnp.asarray(poses),
+        depths=jnp.asarray(d_gt),
+        host_uv=jnp.asarray(uv),
+        host_idx=jnp.zeros(Pn, jnp.int32),
+        obs_mask=jnp.ones((Pn, Fh), bool),
+        weight=jnp.ones(Pn, jnp.float32),
+    )
+
+    def pose_err(Ts):
+        Ts = np.asarray(Ts, np.float64)
+        return float(
+            np.mean(
+                [np.linalg.norm(Ts[i] - gt_cw[i]) for i in range(1, Fh)]
+            )
+        )
+
+    err0 = pose_err(poses)
+    p_damped, d_damped, _ = photometric_ba_pyramid(
+        problem, levels=(2, 1), iters_per_level=(6, 6), depth_damping=1.0
+    )
+    p_free, d_free, _ = photometric_ba_pyramid(
+        problem, levels=(2, 1), iters_per_level=(6, 6), depth_damping=0.0
+    )
+    err_damped = pose_err(p_damped)
+    err_free = pose_err(p_free)
+    drift_damped = float(np.mean(np.abs(np.asarray(d_damped) - d_gt)))
+    drift_free = float(np.mean(np.abs(np.asarray(d_free) - d_gt)))
+
+    assert err_damped < 0.7 * err0, (err0, err_damped)
+    assert err_damped < err_free, (err_damped, err_free)
+    assert drift_damped < 0.05, drift_damped
+    assert drift_free > 0.3, drift_free
+
+
+def test_odometry_prior_recovers_weakly_observed_frame():
+    """The D3VO relative-pose prior (``prior_weight``) must actively pull a
+    photometrically starved frame BACK to the odometry chain, not just damp
+    it. This pins the captured r03 failure: a window frame observed by a
+    handful of edges took an ACCEPTED 1.5 m / 32 deg texture-aliased step
+    once LM's lambda had decayed (chi2 did drop), exploding the trajectory
+    — with the prior, that displaced state is exactly what the next solve
+    must repair."""
+    from deep_visual_slam_tpu.ops.se3 import se3_inv
+
+    problem, truth = _make_problem(pose_noise=0.01, depth_noise=0.0)
+    # Starve frame 2 of photometric evidence and displace it 0.5 m — the
+    # post-aliased-step state.
+    obs = np.asarray(problem.obs_mask).copy()
+    obs[:, 2] = False
+    init = np.asarray(problem.poses)
+    displaced = init.copy()
+    displaced[2, 0, 3] += 0.5
+    # Prior = the odometry chain BEFORE the bad step (the SLAM driver's
+    # composed rels; here the undisplaced init chain).
+    prior_rel = jnp.asarray(init[1:]) @ se3_inv(jnp.asarray(init[:-1]))
+    starved = problem._replace(
+        obs_mask=jnp.asarray(obs), poses=jnp.asarray(displaced)
+    )
+
+    p_free, _, _ = photometric_ba(starved, num_iters=8, prior_weight=0.0)
+    p_prior, _, _ = photometric_ba(
+        starved, num_iters=8, prior_weight=1e3, prior_rel=prior_rel
+    )
+
+    def frame2_off(Ts):
+        """Distance of frame 2 from its pre-displacement odometry pose."""
+        dT = np.asarray(Ts, np.float64)[2] @ np.linalg.inv(init[2])
+        return float(np.linalg.norm(dT - np.eye(4)))
+
+    # Without the prior the starved frame has zero photometric gradient:
+    # it stays 0.5 m off. With it, it is pulled back onto the chain.
+    assert frame2_off(p_free) > 0.45, frame2_off(p_free)
+    assert frame2_off(p_prior) < 0.02, frame2_off(p_prior)
+    # And the prior must NOT stop well-observed frames from converging:
+    # frame 3 still gets photometrically corrected toward GT.
+    err3_init = np.linalg.norm(init[3] - truth["poses"][3])
+    err3 = np.linalg.norm(np.asarray(p_prior)[3] - truth["poses"][3])
+    assert err3 < 0.9 * err3_init, (err3_init, err3)
