@@ -79,7 +79,7 @@ class BAProblem(NamedTuple):
     weight:   [P] per-point D3VO uncertainty weight  a²/(a²+unc²)
     """
 
-    images: jnp.ndarray
+    images: jnp.ndarray  # or a tuple of [H, W, C] arrays (stacked in-jit)
     K: jnp.ndarray
     poses: jnp.ndarray
     depths: jnp.ndarray
@@ -533,6 +533,13 @@ def photometric_ba(
     P = problem.depths.shape[0]
     K = problem.K
     images = problem.images
+    # The SLAM driver passes the window as a TUPLE of per-frame device
+    # images: stacking here (inside the jit trace) replaces the eager
+    # per-keyframe jnp.stack of a 25 MB window — F+1 eager device
+    # dispatches per solve, the dominant measured host cost of BA problem
+    # assembly (docs/bench_slam_r03.json ba_build bucket).
+    if isinstance(images, (tuple, list)):
+        images = jnp.stack(images)
 
     # Edge list: every (point, dest frame) pair, masked.
     dest_idx = jnp.tile(jnp.arange(F)[None, :], (P, 1))  # [P, F]
@@ -803,9 +810,13 @@ def photometric_ba_scaled(
             depth_damping=depth_damping, prior_weight=prior_weight,
             prior_rel=prior_rel, num_real=num_real,
         )
-    F, H, W, C = problem.images.shape
+    full = problem.images
+    if isinstance(full, (tuple, list)):  # see photometric_ba
+        full = jnp.stack(full)
+        problem = problem._replace(images=full)
+    F, H, W, C = full.shape
     s = scale
-    images = problem.images[:, : (H // s) * s, : (W // s) * s].reshape(
+    images = full[:, : (H // s) * s, : (W // s) * s].reshape(
         F, H // s, s, W // s, s, C
     ).mean(axis=(2, 4))
     K = problem.K

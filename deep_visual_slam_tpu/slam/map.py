@@ -198,6 +198,15 @@ class Map:
             self._dev_images[f.id] = cached
         return cached
 
+    def _zero_image(self, H: int, W: int) -> "jnp.ndarray":
+        """Cached on-device zero image for padded window slots (uploaded
+        once per image size, not once per keyframe)."""
+        cached = getattr(self, "_zero_img_cache", None)
+        if cached is None or cached.shape[:2] != (H, W):
+            cached = jnp.zeros((H, W, 3), jnp.float32)
+            self._zero_img_cache = cached
+        return cached
+
     def register_device_image(self, frame_id: int, image: "jnp.ndarray") -> None:
         """Pre-seed the device cache (e.g. with the array already uploaded
         for network inference). Only valid for a=1, b=0 frames.
@@ -213,6 +222,58 @@ class Map:
         live = {f.id for f in self.keyframes} | set(extra_live)
         for fid in [k for k in self._dev_images if k not in live]:
             del self._dev_images[fid]
+
+    def _gather_tracks_fast(self, frames: List[Frame], max_points: int):
+        """Array-based track gather from the KLT frontend's per-keyframe
+        slot->Point-id snapshots (``Frame.slot_pt_id``), replacing the
+        per-Point python walk of :meth:`keypoints` + the per-track build
+        loop (~4 ms/keyframe at P=256 on a 1-core host; this path is
+        ~100 us). Returns ``(points, host_uv [n,2], host_idx [n],
+        depth [n], unc [n], obs [n, F_real])`` with tracks ordered longest
+        first, or None when any window frame lacks a snapshot (ORB path)."""
+        snaps = [getattr(f, "slot_pt_id", None) for f in frames]
+        if any(s is None for s in snaps):
+            return None
+        F_real = len(frames)
+        M = np.stack(snaps)  # [F_real, S] point id per slot, -1 = empty
+        uids, inv = np.unique(M, return_inverse=True)
+        inv = inv.reshape(M.shape)
+        obs_full = np.zeros((len(uids), F_real), bool)
+        obs_full[inv, np.arange(F_real)[:, None]] = True
+        # A Point lives in ONE slot for its whole life (re-hosting creates a
+        # new Point), so any occurrence gives its slot.
+        slot_arr = np.zeros(len(uids), np.int64)
+        slot_arr[inv] = np.broadcast_to(
+            np.arange(M.shape[1]), M.shape
+        )
+        n_obs = obs_full.sum(1)
+        valid = np.array(
+            [u >= 0 and self.points[u].valid for u in uids], bool
+        )
+        keep = valid & (n_obs >= 2)
+        if not keep.any():
+            return [], None, None, None, None, None
+        # Longest tracks first; fixed point budget.
+        order = np.flatnonzero(keep)[np.argsort(-n_obs[keep], kind="stable")]
+        order = order[:max_points]
+
+        host_f = obs_full[order].argmax(1)  # first observation = host
+        slots = slot_arr[order]
+        kps_all = np.stack([f.kps for f in frames])  # [F_real, S, 2] int
+        uv = kps_all[host_f, slots].astype(np.float32)
+        depth = np.empty(len(order), np.float32)
+        unc = np.empty(len(order), np.float32)
+        xs = uv[:, 0].astype(np.int64)
+        ys = uv[:, 1].astype(np.int64)
+        for fi, f in enumerate(frames):
+            sel = host_f == fi
+            if sel.any():
+                depth[sel] = f.depth[ys[sel], xs[sel]]
+                unc[sel] = f.uncertainty[ys[sel], xs[sel]]
+        points = [self.points[u] for u in uids[order]]
+        return (
+            points, uv, host_f.astype(np.int32), depth, unc, obs_full[order]
+        )
 
     def _build_problem(
         self,
@@ -230,15 +291,8 @@ class Map:
         per size). Padded slots get zero Hessian rows; LM damping keeps the
         system solvable and their updates are exactly zero.
         """
-        kpts = self.keypoints(frames)
-        if not kpts:
-            return None
-        # Longest tracks first; fixed P slots.
-        items = sorted(kpts.items(), key=lambda kv: -len(kv[1]))[:max_points]
-
         F_real = len(frames)
         F = max(pad_frames or F_real, F_real)
-        frame_index = {id(f): i for i, f in enumerate(frames)}
         H, W = frames[0].image.shape[:2]
         P = max_points
 
@@ -248,37 +302,65 @@ class Map:
         obs = np.zeros((P, F), bool)
         weight = np.zeros(P, np.float32)
 
-        points: List[Point] = []
-        for p_i, (pt, local) in enumerate(items):
-            host_frame, host_kp_idx = local[0]
-            x, y = host_frame.kps[host_kp_idx]
-            host_uv[p_i] = (x, y)
-            host_idx[p_i] = frame_index[id(host_frame)]
-            depths[p_i] = max(0.01, float(host_frame.depth[y, x]))
-            for fr, _ in local:
-                obs[p_i, frame_index[id(fr)]] = True
-            unc = float(host_frame.uncertainty[y, x])
-            weight[p_i] = self.alpha**2 / (self.alpha**2 + np.sqrt(abs(unc)) ** 2)
-            points.append(pt)
+        fast = self._gather_tracks_fast(frames, max_points)
+        if fast is not None:
+            points, t_uv, t_host, t_depth, t_unc, t_obs = fast
+            if not points:
+                return None
+            n = len(points)
+            host_uv[:n] = t_uv
+            host_idx[:n] = t_host
+            depths[:n] = np.maximum(0.01, t_depth)
+            obs[:n, :F_real] = t_obs
+            weight[:n] = self.alpha**2 / (
+                self.alpha**2 + np.sqrt(np.abs(t_unc)) ** 2
+            )
+        else:
+            kpts = self.keypoints(frames)
+            if not kpts:
+                return None
+            # Longest tracks first; fixed P slots.
+            items = sorted(kpts.items(), key=lambda kv: -len(kv[1]))[:max_points]
+            frame_index = {id(f): i for i, f in enumerate(frames)}
 
-        images = jnp.stack([self._device_image(f) for f in frames])
+            points = []
+            for p_i, (pt, local) in enumerate(items):
+                host_frame, host_kp_idx = local[0]
+                x, y = host_frame.kps[host_kp_idx]
+                host_uv[p_i] = (x, y)
+                host_idx[p_i] = frame_index[id(host_frame)]
+                depths[p_i] = max(0.01, float(host_frame.depth[y, x]))
+                for fr, _ in local:
+                    obs[p_i, frame_index[id(fr)]] = True
+                unc = float(host_frame.uncertainty[y, x])
+                weight[p_i] = self.alpha**2 / (
+                    self.alpha**2 + np.sqrt(abs(unc)) ** 2
+                )
+                points.append(pt)
+
+        # A TUPLE of per-frame device images (cached uploads) — the solver
+        # stacks them INSIDE its jit. Stacking eagerly here cost F+1 device
+        # dispatches (expand_dims x F + a 25 MB concat) per keyframe, the
+        # dominant measured share of BA assembly host time. Pad slots reuse
+        # one cached zero image. Small fields stay numpy: the jit call
+        # binds them in one batched transfer.
+        zero = self._zero_image(H, W)
+        images = tuple(self._device_image(f) for f in frames) + (zero,) * (
+            F - F_real
+        )
         poses = np.stack(
             [f.pose for f in frames] + [np.eye(4)] * (F - F_real)
         ).astype(np.float32)
-        if F > F_real:
-            images = jnp.concatenate(
-                [images, jnp.zeros((F - F_real, H, W, 3), jnp.float32)]
-            )
 
         problem = BAProblem(
             images=images,
-            K=jnp.asarray(intrinsic, jnp.float32),
-            poses=jnp.asarray(poses),
-            depths=jnp.asarray(depths),
-            host_uv=jnp.asarray(host_uv),
-            host_idx=jnp.asarray(host_idx),
-            obs_mask=jnp.asarray(obs),
-            weight=jnp.asarray(weight),
+            K=np.asarray(intrinsic, np.float32),
+            poses=poses,
+            depths=depths,
+            host_uv=host_uv,
+            host_idx=host_idx,
+            obs_mask=obs,
+            weight=weight,
         )
         return problem, points
 

@@ -277,8 +277,17 @@ class MonoVO:
                 depth = np.asarray(depth_dev[0]) if self.fetch_depth else None
             if oracle_rel is not None:
                 rel = np.asarray(oracle_rel, np.float64)
-            # Chain off the previous frame's REFRESHED pose so pipelined BA
-            # corrections that landed since feed forward into the odometry.
+            # Materialize any in-flight pipelined BA BEFORE chaining: the
+            # solve was dispatched last keyframe and has had a full network
+            # step to run, so this is a cheap join — but skipping it chains
+            # the new frame off the PRE-correction keyframe pose, and that
+            # stale rel becomes an artificial photometric inconsistency the
+            # next window then fights (measured at 640x480: init chi2 grows
+            # 0.5 -> 39 over 15 keyframes and BA flips from helping to
+            # hurting ATE).
+            self.mp.flush_ba()
+            # Chain off the previous frame's REFRESHED pose so BA
+            # corrections feed forward into the odometry.
             pose_global = rel @ self.mp.frames[-1].current_pose()
         self._prev_dev = cur_dev
         a, b = 1.0, 0.0
@@ -378,6 +387,9 @@ class MonoVO:
         else:
             depth = np.asarray(pending[0][0])  # sync point
             rel = np.asarray(pending[1][0], np.float64)
+            # Land any pipelined BA before chaining (see the KLT path for
+            # the measured stale-rel failure this avoids).
+            self.mp.flush_ba()
             # Frame pose is GLOBAL T_cw: compose the relative net pose onto
             # the previous frame's global (BA-refreshed) pose.
             pose_global = rel @ self.mp.frames[-1].current_pose()
