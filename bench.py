@@ -212,6 +212,7 @@ def train_bench(
     packed_root: str = "results/packed",
     size=(480, 640),
     device_augment: bool = False,
+    uint8_h2d: bool = False,
     out_json: str = "docs/bench_train_r03.json",
 ) -> None:
     """END-TO-END training throughput INCLUDING the host input pipeline.
@@ -250,10 +251,13 @@ def train_bench(
             scenes = list_packed_scenes(_os.path.join(packed_root, "train"))
         from deep_visual_slam_tpu.data.loader import ConcatDataset
 
-        dataset = ConcatDataset(
-            [PackedSnippetDataset(s, (H, W), augment=not device_augment)
-             for s in scenes]
-        )
+        sets = [PackedSnippetDataset(s, (H, W), augment=not device_augment)
+                for s in scenes]
+        if uint8_h2d:
+            for ds in sets:
+                ds.output_uint8 = True
+                ds.augment = False
+        dataset = ConcatDataset(sets)
     else:
         from deep_visual_slam_tpu.data.synthetic import SyntheticVoDataset
 
@@ -290,6 +294,8 @@ def train_bench(
     elapsed = time.perf_counter() - t_start
     fps = steps * batch_size * 3 / elapsed
     tag = f"{source}_devaug" if device_augment else source
+    if uint8_h2d:
+        tag += "_u8"
     record = {
         "metric": f"vo_train_host_included_fps_{W}x{H}_bs{batch_size}_{tag}",
         "value": round(fps, 2),
@@ -414,6 +420,9 @@ if __name__ == "__main__":
     ap.add_argument("--steps", type=int, default=24)
     ap.add_argument("--device_augment", action="store_true",
                     help="--train: run ColorJitter on-device, host jitter off")
+    ap.add_argument("--uint8_h2d", action="store_true",
+                    help="--train: ship uint8 batches, scale on device "
+                    "(4x fewer H2D bytes; packed source only)")
     args = ap.parse_args()
     if args.slam:
         slam_bench(
@@ -426,7 +435,8 @@ if __name__ == "__main__":
             steps=args.steps, batch_size=args.batch_size, source=args.source,
             packed_root=args.packed_root,
             device_augment=args.device_augment,
-            out_json=args.out_json or "docs/bench_train_r03.json",
+            uint8_h2d=args.uint8_h2d,
+            out_json=args.out_json or "docs/bench_train_r04.json",
         )
     else:
         main()

@@ -122,6 +122,12 @@ class SnippetDataset:
         self.poses = list(poses) if poses is not None else None
         self.num_scales = num_scales
         self._pyramid = intrinsics_pyramid_np(self.intrinsic, num_scales)
+        # output_uint8: ship snippets as uint8 [H, W, 3] and let the jitted
+        # train step do the /255 scale ON DEVICE (training/steps.py) — 4x
+        # fewer H2D bytes and no host astype per sample. Host jitter cannot
+        # run on uint8; pair with Train.device_augment (the loader enforces
+        # this). Enabled via ``Train.uint8_h2d``.
+        self.output_uint8 = False
 
     def __len__(self) -> int:
         return max(0, len(self.rgb_paths) - 2 * self.max_gap)
@@ -153,6 +159,22 @@ class SnippetDataset:
             pass
         return np.stack([self._load(i) for i in indices])
 
+    def _load_triplet_u8(self, indices) -> np.ndarray:
+        """uint8 triplet: decode + resize WITHOUT the /255 normalize (the
+        device does it — see ``output_uint8``). Half the host arithmetic
+        and a quarter of the H2D bytes of the float path."""
+        H, W = self.image_size
+        frames = []
+        for i in indices:
+            img = cv2.imread(self.rgb_paths[i], cv2.IMREAD_COLOR)
+            if img is None:
+                raise FileNotFoundError(self.rgb_paths[i])
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            if img.shape[:2] != (H, W):
+                img = cv2.resize(img, (W, H), interpolation=cv2.INTER_LINEAR)
+            frames.append(img)
+        return np.stack(frames)
+
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         if rng is None:
             rng = np.random.default_rng()
@@ -162,9 +184,15 @@ class SnippetDataset:
         target_idx = idx + size_1
         right_idx = idx + size_1 + size_2
 
-        stack = self._load_triplet([left_idx, target_idx, right_idx])
-        if self.augment and rng.uniform() < 0.5:
-            stack = color_jitter(stack, rng)
+        if self.output_uint8:
+            # Host jitter is impossible on uint8 — the loader disables
+            # ``augment`` when it enables this path (device jitter applies
+            # inside the train step instead).
+            stack = self._load_triplet_u8([left_idx, target_idx, right_idx])
+        else:
+            stack = self._load_triplet([left_idx, target_idx, right_idx])
+            if self.augment and rng.uniform() < 0.5:
+                stack = color_jitter(stack, rng)
 
         sample: Dict = {
             "source_left": stack[0],

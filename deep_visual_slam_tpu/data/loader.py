@@ -388,15 +388,38 @@ class VoDataLoader:
         # jitted train step (training/augment.py) — turn the host-side
         # jitter off everywhere so it isn't applied twice. Every snippet
         # source gates its jitter on a ``.augment`` attribute.
+        def _walk(ds, fn):
+            if isinstance(ds, ConcatDataset):
+                for d in ds.datasets:
+                    _walk(d, fn)
+            else:
+                fn(ds)
+
         if t.get("device_augment", False):
             def _disable_host_augment(ds):
-                if isinstance(ds, ConcatDataset):
-                    for d in ds.datasets:
-                        _disable_host_augment(d)
-                elif hasattr(ds, "augment"):
+                if hasattr(ds, "augment"):
                     ds.augment = False
 
-            _disable_host_augment(self.train_dataset)
+            _walk(self.train_dataset, _disable_host_augment)
+
+        # Train.uint8_h2d: ship TRAIN batches as uint8 and scale on device
+        # (training/steps.py) — 4x fewer H2D bytes, no host astype per
+        # sample. Host jitter can't run on uint8, so it is forced off;
+        # pair with Train.device_augment to keep the jitter semantics.
+        if t.get("uint8_h2d", False):
+            if not t.get("device_augment", False):
+                print(
+                    "Warning: Train.uint8_h2d without Train.device_augment "
+                    "disables ColorJitter entirely (host jitter can't run "
+                    "on uint8)"
+                )
+
+            def _enable_uint8(ds):
+                if hasattr(ds, "output_uint8"):
+                    ds.output_uint8 = True
+                    ds.augment = False
+
+            _walk(self.train_dataset, _enable_uint8)
 
         use_shuffle = t.get("use_shuffle", True)
         self.train_loader = DataLoader(

@@ -485,8 +485,21 @@ def photometric_ba(
     prior_weight: float = 0.0,
     prior_rel: jnp.ndarray | None = None,
     num_real: jnp.ndarray | None = None,
+    prior_anchor: jnp.ndarray | None = None,
 ):
     """Run LM over the window; returns (poses, depths, diagnostics).
+
+    Diagnostics: ``chi2`` is the TOTAL accepted energy
+    (``chi2_photo + chi2_prior``); the two terms are also returned
+    separately so logged values stay comparable across ``prior_weight``
+    settings (the prior term scales with ``w`` up to 1e3 per edge).
+    ``chi2_history`` tracks the total.
+
+    ``prior_anchor``: pose chain whose consecutive relative poses pin the
+    odometry prior when ``prior_rel`` is None (defaults to the problem's
+    own init poses). Passing it keeps the derivation INSIDE the jit — the
+    pyramid / staged global BA use it to anchor every level/stage at the
+    ORIGINAL chain with zero eager device dispatches.
 
     num_iters matches the reference's windowed call ``opt.optimize(6)``
     (``slam/optimizer.py:222,292-294``); pass 20 for the global-BA variant
@@ -575,7 +588,8 @@ def photometric_ba(
     # relative poses unless the caller pins its own (the pyramid pins the
     # original, pre-coarse-level chain).
     if prior_rel is None:
-        prior_rel = problem.poses[1:] @ se3_inv(problem.poses[:-1])
+        anchor = problem.poses if prior_anchor is None else prior_anchor
+        prior_rel = anchor[1:] @ se3_inv(anchor[:-1])
     prior_inv = se3_inv(prior_rel)  # [F-1, 4, 4]
     if num_real is None:
         p_mask = jnp.ones(F - 1, jnp.float32)
@@ -712,10 +726,12 @@ def photometric_ba(
         return new_poses, depths + dz
 
     def lm_step(carry, _):
-        poses, depths, lam, r, w, chi2, geom = carry
+        poses, depths, lam, r, w, chi2_photo, chi2_prior, geom = carry
         # One closed-form Jacobian pass at the carried geometry; (r, w,
-        # geom, chi2) come from the last accepted evaluation of this point.
-        # chi2 is the TOTAL energy (photometric + prior).
+        # geom, chi2_*) come from the last accepted evaluation of this
+        # point. Acceptance compares TOTAL energy (photometric + prior);
+        # the two terms are carried separately for the diagnostics.
+        chi2 = chi2_photo + chi2_prior
         Jd, Jh, Jz = linearize_jac(geom)
         r_pr, T_rel, _ = prior_eval(poses)
         H_pp, H_pd, H_dd, b_p, b_d = build_system(
@@ -758,25 +774,30 @@ def photometric_ba(
         )
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         lam = jnp.clip(lam, 1e-8, 1e6)
-        # Carry the ACTUAL total energy of the accepted state (escaped
-        # edges are genuinely gone from it after acceptance).
-        new_chi2 = jnp.where(accept, chi2_new + prior_new, chi2)
+        # Carry the ACTUAL energies of the accepted state (escaped edges
+        # are genuinely gone from the photometric term after acceptance).
+        new_photo = jnp.where(accept, chi2_new, chi2_photo)
+        new_prior = jnp.where(accept, prior_new, chi2_prior)
         return (
-            new_poses, new_depths, lam, new_r, new_w, new_chi2, new_geom
+            new_poses, new_depths, lam, new_r, new_w, new_photo,
+            new_prior, new_geom
         ), chi2
 
     r0, w0, chi2_0, geom0 = evaluate(problem.poses, problem.depths)
     _, _, prior_0 = prior_eval(problem.poses)
-    (poses, depths, lam, _, _, chi2, _), chi2_hist = jax.lax.scan(
+    (poses, depths, lam, _, _, c_photo, c_prior, _), chi2_hist = jax.lax.scan(
         lm_step,
         (
             problem.poses, problem.depths, jnp.asarray(init_lambda),
-            r0, w0, chi2_0 + prior_0, geom0,
+            r0, w0, chi2_0, prior_0, geom0,
         ),
         None,
         length=num_iters,
     )
-    return poses, depths, {"chi2": chi2, "chi2_history": chi2_hist, "lambda": lam}
+    return poses, depths, {
+        "chi2": c_photo + c_prior, "chi2_photo": c_photo,
+        "chi2_prior": c_prior, "chi2_history": chi2_hist, "lambda": lam,
+    }
 
 
 @partial(
@@ -793,6 +814,7 @@ def photometric_ba_scaled(
     prior_weight: float = 0.0,
     prior_rel: "jnp.ndarray | None" = None,
     num_real: "jnp.ndarray | None" = None,
+    prior_anchor: "jnp.ndarray | None" = None,
 ):
     """:func:`photometric_ba` on a ``scale``-times-downsampled problem.
 
@@ -809,6 +831,7 @@ def photometric_ba_scaled(
             init_lambda=init_lambda, fix_first=fix_first,
             depth_damping=depth_damping, prior_weight=prior_weight,
             prior_rel=prior_rel, num_real=num_real,
+            prior_anchor=prior_anchor,
         )
     full = problem.images
     if isinstance(full, (tuple, list)):  # see photometric_ba
@@ -833,6 +856,7 @@ def photometric_ba_scaled(
         init_lambda=init_lambda, fix_first=fix_first,
         depth_damping=depth_damping, prior_weight=prior_weight,
         prior_rel=prior_rel, num_real=num_real,
+        prior_anchor=prior_anchor,
     )
 
 
@@ -845,6 +869,7 @@ def photometric_ba_pyramid(
     depth_damping: float = 0.0,
     prior_weight: float = 0.0,
     num_real: "jnp.ndarray | None" = None,
+    prior_anchor: "jnp.ndarray | None" = None,
 ):
     """Coarse-to-fine LM: solve at each pyramid level (coarsest first),
     carrying (poses, depths) down — the classical direct-method answer to
@@ -859,7 +884,10 @@ def photometric_ba_pyramid(
     poses, depths = problem.poses, problem.depths
     # Pin the prior at the ORIGINAL odometry chain: a coarse level must not
     # re-anchor the finer levels at its own (partially converged) output.
-    prior_rel = problem.poses[1:] @ se3_inv(problem.poses[:-1])
+    # The chain is derived from ``anchor`` INSIDE each level's jit (not
+    # eagerly here — an eager jnp matmul + se3_inv would cost 1-2 device
+    # dispatches per solve, ~100-200 ms over a tunnelled chip).
+    anchor = problem.poses if prior_anchor is None else prior_anchor
     diag = None
     for s, it in zip(levels, iters_per_level):
         problem = problem._replace(poses=poses, depths=depths)
@@ -867,6 +895,6 @@ def photometric_ba_pyramid(
             problem, scale=int(s), num_iters=int(it),
             huber_delta=huber_delta, fix_first=fix_first,
             depth_damping=depth_damping, prior_weight=prior_weight,
-            prior_rel=prior_rel, num_real=num_real,
+            num_real=num_real, prior_anchor=anchor,
         )
     return poses, depths, diag

@@ -41,7 +41,7 @@ class Map:
         alpha: float = 0.5,
         num_kf: int = 7,
         max_points: int = 256,
-        ba_levels: Tuple[int, ...] = (1,),
+        ba_levels: Tuple[int, ...] = (2, 1),
         depth_damping: float = 1.0,
         pose_prior_weight: float = 1e3,
     ):
@@ -53,11 +53,14 @@ class Map:
         self.num_kf = num_kf
         self.alpha = alpha
         self.max_points = max_points
-        # BA pyramid levels, coarsest first; (1,) = single-scale (the
-        # reference regime — trained nets put the init inside the bilinear
-        # basin). (4, 2, 1) converges from ~4x larger initial flow (weak /
-        # untrained inits) at three device dispatches per solve instead of
-        # one (see ``ba.photometric_ba_pyramid``).
+        # BA pyramid levels, coarsest first. Default (2, 1) is the
+        # ablation-validated configuration (BASELINE.md: ATE −41% at
+        # oracle init, docs/ba_ablation_r03.json) — the 2x level widens
+        # the bilinear basin to ~2 px of initial flow at the cost of one
+        # extra device dispatch per solve. (1,) is the reference regime
+        # (single-scale, trained nets put the init inside the basin);
+        # (4, 2, 1) converges from ~4x larger initial flow (see
+        # ``ba.photometric_ba_pyramid``).
         self.ba_levels = tuple(ba_levels)
         # Depth-Hessian floor for the windowed/global solves. 1.0 treats the
         # network depth as a strong prior (the D3VO regime): at SLAM window
@@ -430,7 +433,10 @@ class Map:
                 prior_weight=self.pose_prior_weight, num_real=n_real,
             )
         if verbose:
-            print(f"windowed BA chi2: {float(diag['chi2']):.6f}")
+            print(
+                f"windowed BA chi2_photo: {float(diag['chi2_photo']):.6f} "
+                f"(+prior {float(diag['chi2_prior']):.6f})"
+            )
         if pipelined and not verbose:
             self._pending_ba = (window, points, poses, depths)
         else:
@@ -462,6 +468,13 @@ class Map:
         problem, points = built
         n_real = jnp.asarray(len(frames), jnp.int32)
         poses, depths = problem.poses, problem.depths
+        # Anchor the odometry prior at the PRE-BA pose chain for ALL three
+        # stages: letting each stage default to its input poses would
+        # re-anchor the prior at the previous stage's partially-converged
+        # output, allowing a weakly-observed frame up to 3 aliased steps —
+        # exactly the drift the prior exists to forbid (same invariant as
+        # photometric_ba_pyramid's levels). Derived inside the jit.
+        anchor = poses
         for stage in range(3):
             problem = problem._replace(poses=poses, depths=depths)
             if self.ba_levels == (1,):
@@ -469,6 +482,7 @@ class Map:
                     problem, num_iters=max(iters // 3, 1),
                     depth_damping=self.depth_damping,
                     prior_weight=self.pose_prior_weight, num_real=n_real,
+                    prior_anchor=anchor,
                 )
             else:
                 poses, depths, diag = photometric_ba_pyramid(
@@ -477,8 +491,13 @@ class Map:
                     * len(self.ba_levels),
                     depth_damping=self.depth_damping,
                     prior_weight=self.pose_prior_weight, num_real=n_real,
+                    prior_anchor=anchor,
                 )
             if verbose:
-                print(f"global BA stage {stage + 1}: chi2 {float(diag['chi2']):.6f}")
+                print(
+                    f"global BA stage {stage + 1}: "
+                    f"chi2_photo {float(diag['chi2_photo']):.6f} "
+                    f"(+prior {float(diag['chi2_prior']):.6f})"
+                )
         self._write_back(frames, points, poses[: len(frames)], depths)
         return True

@@ -170,7 +170,7 @@ class MonoVO:
         max_points: int = 256,
         frontend: str = "klt",
         fetch_depth: bool = True,
-        ba_levels=(1,),
+        ba_levels=(2, 1),
         depth_damping: float = 1.0,
         pose_prior_weight: float = 1e3,
     ):

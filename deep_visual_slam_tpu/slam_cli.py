@@ -101,6 +101,30 @@ def main() -> None:
         help="klt: device-side tracking fused with the nets (TPU-native "
         "default); orb: reference-parity host ORB+KNN",
     )
+    # Backend knobs (defaults = the ablation-validated configuration,
+    # BASELINE.md / docs/ba_ablation_r03.json; reference's window constants
+    # live at slam/optimizer.py:10-20).
+    parser.add_argument(
+        "--ba_levels", type=int, nargs="+", default=[2, 1],
+        help="BA pyramid downsample factors, coarsest first (default 2 1)",
+    )
+    parser.add_argument(
+        "--depth_damping", type=float, default=1.0,
+        help="absolute floor on the depth Hessian diagonal (0 = free "
+        "depths, the pure-g2o regime; measured to worsen poses)",
+    )
+    parser.add_argument(
+        "--pose_prior_weight", type=float, default=1e3,
+        help="odometry relative-pose prior weight (D3VO Eq. 15)",
+    )
+    parser.add_argument(
+        "--num_kf", type=int, default=7,
+        help="windowed-BA keyframe window size",
+    )
+    parser.add_argument(
+        "--max_points", type=int, default=256,
+        help="BA point-slot budget per window",
+    )
     args = parser.parse_args()
 
     import cv2
@@ -128,6 +152,11 @@ def main() -> None:
         K, image_shape=(H, W), frontend=args.frontend,
         fetch_depth=args.depth_video or args.frontend == "orb",
         networks=nn,
+        ba_levels=tuple(args.ba_levels),
+        depth_damping=args.depth_damping,
+        pose_prior_weight=args.pose_prior_weight,
+        num_kf=args.num_kf,
+        max_points=args.max_points,
     )
 
     writer = None

@@ -22,6 +22,28 @@ from deep_visual_slam_tpu.training.state import TrainState
 from deep_visual_slam_tpu.parallel.mesh import DATA_AXIS
 
 
+# Image planes that may arrive as uint8 under the Train.uint8_h2d path
+# (snippet triplet + the stereo pair's keys).
+_IMAGE_KEYS = ("source_left", "target_image", "source_right", "source_image")
+
+
+def _scale_uint8_images(batch):
+    """uint8 image planes -> f32/255 ON DEVICE.
+
+    The ``Train.uint8_h2d`` loader path ships batches as uint8 (4x fewer
+    H2D bytes, no host astype); the scale runs here, at trace time gated
+    on the STATIC dtype, and XLA fuses it into the first conv's input
+    pipeline. fp32 batches pass through untouched, so every step factory
+    accepts either layout with the same compiled program per dtype.
+    """
+    out = dict(batch)
+    for k in _IMAGE_KEYS:
+        v = out.get(k)
+        if v is not None and v.dtype == jnp.uint8:
+            out[k] = v.astype(jnp.float32) / 255.0
+    return out
+
+
 def _jit_step(step_fn, mesh: Optional[Mesh], donate_state: bool = True):
     """jit a (state, batch, rng) step, sharding the batch over the mesh."""
     if mesh is None:
@@ -56,6 +78,7 @@ def make_vo_train_step(
     """
 
     def train_step(state: TrainState, batch, rng):
+        batch = _scale_uint8_images(batch)
         if device_augment:
             from deep_visual_slam_tpu.training.augment import (
                 batch_snippet_jitter,
@@ -124,6 +147,8 @@ def make_vo_eval_step(
     """
 
     def eval_step(state: TrainState, batch, rng):
+        batch = _scale_uint8_images(batch)
+
         def depth_apply(_, x, train):
             return depth_model.apply(
                 {"params": state.params["depth"], "batch_stats": state.batch_stats["depth"]},
@@ -191,6 +216,8 @@ def make_stereo_train_step(
     """
 
     def train_step(state: TrainState, batch, rng):
+        batch = _scale_uint8_images(batch)
+
         def loss_fn(params):
             mut = {}
 

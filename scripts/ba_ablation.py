@@ -97,14 +97,14 @@ def make_oracle_inits(gt_cw, gt_depths, seed, rot_std_deg, trans_std,
 
 
 def run_once(nn_factory, frames, K, optimize: bool, global_ba: bool,
-             ba_levels=(1,), oracle=None, depth_damping=1.0,
-             pose_prior_weight=1e3):
+             ba_levels=(2, 1), oracle=None, depth_damping=1.0,
+             pose_prior_weight=1e3, frontend="klt"):
     """One SLAM pass; returns (traj T_wc [N,4,4], keyframe ids, seconds)."""
     from deep_visual_slam_tpu.slam import MonoVO
 
     vo = MonoVO(K, image_shape=(H, W), networks=nn_factory(),
                 ba_levels=ba_levels, depth_damping=depth_damping,
-                pose_prior_weight=pose_prior_weight)
+                pose_prior_weight=pose_prior_weight, frontend=frontend)
     t0 = time.perf_counter()
     for i, f in enumerate(frames):
         kw = {}
@@ -148,7 +148,7 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, nargs="+", default=[100, 101, 102])
     ap.add_argument("--vo_ckpt", default=None,
                     help="orbax checkpoint dir from train_vo.py (optional)")
-    ap.add_argument("--out_json", default="docs/ba_ablation_r03.json")
+    ap.add_argument("--out_json", default="docs/ba_ablation_r04.json")
     ap.add_argument("--scene", choices=("multidepth", "plane"),
                     default="multidepth",
                     help="multidepth (default): piecewise-planar ray-cast "
@@ -168,9 +168,12 @@ def main() -> None:
                     help="oracle init: per-frame translation noise std (m)")
     ap.add_argument("--depth_noise", type=float, default=0.0,
                     help="oracle init: multiplicative depth noise std")
-    ap.add_argument("--ba_levels", type=int, nargs="+", default=[1],
-                    help="BA pyramid levels, coarsest first (e.g. 4 2 1); "
-                    "default single-scale")
+    ap.add_argument("--ba_levels", type=int, nargs="+", default=[2, 1],
+                    help="BA pyramid levels, coarsest first (default 2 1 — "
+                    "the shipped MonoVO default; 1 = single-scale)")
+    ap.add_argument("--frontend", choices=("klt", "orb"), default="klt",
+                    help="orb: the reference-parity host frontend (net init "
+                    "only — oracle injection requires klt)")
     ap.add_argument("--depth_damping", type=float, default=1.0,
                     help="depth-Hessian floor (Map default 1.0 — network "
                     "depth as a strong prior; 0.0 = free depths, measurably "
@@ -211,6 +214,7 @@ def main() -> None:
                     "depth/poses, BA-identifiable geometry)",
             "weights": provenance,
             "init": args.init,
+            "frontend": args.frontend,
             "ba_levels": list(args.ba_levels),
             "depth_damping": args.depth_damping,
             "pose_prior_weight": args.pose_prior_weight,
@@ -229,6 +233,9 @@ def main() -> None:
 
     if args.init == "oracle" and args.scene != "multidepth":
         ap.error("--init oracle requires --scene multidepth (needs GT depth)")
+    if args.init == "oracle" and args.frontend == "orb":
+        ap.error("--frontend orb supports --init net only (oracle injection "
+                 "requires the KLT frontend)")
 
     for seed in args.seeds:
         if args.scene == "multidepth":
@@ -256,6 +263,7 @@ def main() -> None:
                 ba_levels=tuple(args.ba_levels), oracle=oracle,
                 depth_damping=args.depth_damping,
                 pose_prior_weight=args.pose_prior_weight,
+                frontend=args.frontend,
             )
             m = evaluate(traj, gt_cw, kf_ids)
             m["seconds"] = round(secs, 1)

@@ -35,9 +35,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def pack_synthetic(out_root: str, n_scenes: int, n_frames: int, size) -> None:
+def pack_synthetic(
+    out_root: str, n_scenes: int, n_frames: int, size,
+    generator: str = "plane",
+) -> None:
+    """``generator``: 'plane' = textured slanted plane
+    (``synthetic_slam_sequence``), 'multidepth' = piecewise-planar ray-cast
+    renders, 'mix' = alternate both — use 'mix' for fixture training whose
+    model will be evaluated on multidepth SLAM scenes
+    (``scripts/ba_ablation.py`` uses seeds 100-102; packer seeds start at
+    1000, disjoint)."""
     from deep_visual_slam_tpu.data.packed import pack_scene
-    from deep_visual_slam_tpu.data.synthetic import synthetic_slam_sequence
+    from deep_visual_slam_tpu.data.synthetic import (
+        synthetic_multidepth_sequence,
+        synthetic_slam_sequence,
+    )
 
     H, W = size
     # 80/10/10 scene split across folds; valid/test only once there are
@@ -55,10 +67,17 @@ def pack_synthetic(out_root: str, n_scenes: int, n_frames: int, size) -> None:
             print(f"{out_dir}: exists, skipping", flush=True)
             continue
         t0 = time.time()
-        frames, K, poses_cw = synthetic_slam_sequence(
-            n_frames, H, W, seed=1000 + i,
-            step_translation=0.02, step_rotation=0.004,
-        )
+        use_md = generator == "multidepth" or (generator == "mix" and i % 2)
+        if use_md:
+            frames, K, poses_cw, _ = synthetic_multidepth_sequence(
+                n_frames, H, W, seed=1000 + i,
+                step_translation=0.02, step_rotation=0.004,
+            )
+        else:
+            frames, K, poses_cw = synthetic_slam_sequence(
+                n_frames, H, W, seed=1000 + i,
+                step_translation=0.02, step_rotation=0.004,
+            )
         # SnippetDataset.poses expects camera-to-world (it forms
         # inv(p1) @ p2 relative poses); the generator emits T_cw.
         poses_wc = np.linalg.inv(poses_cw.astype(np.float64)).astype(
@@ -140,12 +159,15 @@ def main() -> None:
                     metavar=("H", "W"))
     ap.add_argument("--out", default=None, help="output root (default "
                     "<data_dir>/packed)")
+    ap.add_argument("--generator", choices=("plane", "multidepth", "mix"),
+                    default="plane",
+                    help="--synthetic scene renderer (mix: alternate both)")
     args = ap.parse_args()
 
     if args.synthetic:
         pack_synthetic(
             args.out or "results/packed", args.synthetic, args.frames,
-            args.size,
+            args.size, generator=args.generator,
         )
     elif args.config:
         pack_config(args.config, args.out)

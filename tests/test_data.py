@@ -193,6 +193,49 @@ def test_packed_synthetic_fold_and_loader(tmp_path):
         PackedSnippetDataset(train_scenes[0], (H * 2, W * 2))
 
 
+def test_uint8_h2d_path(tmp_path):
+    """Train.uint8_h2d ships uint8 batches whose /255 matches the f32 path
+    (same rng => same snippet indices), and forces host jitter off."""
+    from deep_visual_slam_tpu.data.packed import (
+        PackedSnippetDataset,
+        list_packed_scenes,
+    )
+    from scripts.pack_dataset import pack_synthetic
+
+    pack_synthetic(str(tmp_path / "packed"), 3, 12, (H, W))
+    scene = list_packed_scenes(str(tmp_path / "packed" / "train"))[0]
+
+    f32 = PackedSnippetDataset(scene, (H, W), augment=False)
+    u8 = PackedSnippetDataset(scene, (H, W), augment=False)
+    u8.output_uint8 = True
+    a = f32.__getitem__(1, np.random.default_rng(7))
+    b = u8.__getitem__(1, np.random.default_rng(7))
+    assert b["target_image"].dtype == np.uint8
+    np.testing.assert_allclose(
+        a["target_image"], b["target_image"].astype(np.float32) / 255.0,
+        atol=1e-7,
+    )
+
+    cfg = load_config(overrides={
+        "Directory": {"data_dir": str(tmp_path) + "/"},
+        "Dataset": {
+            "redwood": {"mono": False},
+            "packed": {"mono": True, "root": str(tmp_path / "packed")},
+        },
+        "Train": {
+            "img_h": H, "img_w": W, "batch_size": 2, "num_workers": 2,
+            "uint8_h2d": True, "device_augment": True,
+        },
+    })
+    dl = VoDataLoader(cfg)
+    batch = next(iter(dl.train_loader))
+    assert batch["target_image"].dtype == np.uint8
+    assert batch["K"].dtype == np.float32  # intrinsics untouched
+    for ds in dl.train_dataset.datasets:
+        for d in getattr(ds, "datasets", [ds]):
+            assert d.output_uint8 and not d.augment
+
+
 def test_packed_dataset_pickles(tmp_path):
     """memmap-backed datasets must survive pickling (xdist/subprocess)."""
     import pickle

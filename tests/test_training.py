@@ -66,6 +66,41 @@ def test_vo_train_step_decreases_loss():
     assert int(state.step) == 10
 
 
+def test_uint8_batch_matches_f32_train_step():
+    """A uint8 batch (Train.uint8_h2d) produces the SAME losses/params as
+    its f32/255 equivalent — the /255 scale runs on device at trace time."""
+    depth_model, pose_model = _small_models()
+    # Two identical states: the jitted step donates its state argument.
+    state_a0 = _vo_state(depth_model, pose_model)
+    state_b0 = _vo_state(depth_model, pose_model)
+    step = make_vo_train_step(depth_model, pose_model, VOLossConfig())
+    batch, _ = synthetic_vo_batch(0, 2, H, W)
+    # Quantize so the uint8 and f32 pipelines see identical pixel values.
+    u8 = dict(batch)
+    f32 = dict(batch)
+    for k in ("source_left", "target_image", "source_right"):
+        q = np.clip(np.asarray(batch[k]) * 255.0, 0, 255).astype(np.uint8)
+        u8[k] = q
+        f32[k] = q.astype(np.float32) / 255.0
+    rng = jax.random.PRNGKey(3)
+    state_a, losses_a = step(state_a0, f32, rng)
+    state_b, losses_b = step(state_b0, u8, rng)
+    # Not bit-exact: the uint8- and f32-input signatures compile to two
+    # XLA programs with different fusion choices around the first conv.
+    np.testing.assert_allclose(
+        float(losses_a["loss"]), float(losses_b["loss"]), rtol=1e-4
+    )
+    # Adam divides by sqrt(v): where the true gradient is ~0, an
+    # epsilon-level bf16 fusion difference flips the step sign, so the
+    # per-parameter bound is the Adam step size (lr = 1e-4), not epsilon.
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2.5e-4, rtol=0
+        )
+
+
 def test_vo_train_step_updates_both_networks():
     depth_model, pose_model = _small_models()
     state = _vo_state(depth_model, pose_model)
