@@ -67,7 +67,10 @@ def _klt_device_components(vo, frames) -> dict:
     step_ms = (time.perf_counter() - t0) / N * 1000
 
     # 2) Shi-Tomasi detection (keyframes only).
-    gray = rgb_to_gray(frames_dev[0, 0])
+    f0 = frames_dev[0, 0]
+    if f0.dtype == jnp.uint8:
+        f0 = f0.astype(jnp.float32) / 255.0
+    gray = rgb_to_gray(f0)
     R = 16
 
     def det_body(carry, _):
@@ -115,23 +118,80 @@ def _klt_device_components(vo, frames) -> dict:
     return {"step_ms": step_ms, "detect_ms": detect_ms, "ba_ms": ba_ms}
 
 
+def _transfer_legs(H: int, W: int, ingest_dtype) -> dict:
+    """Measure the per-frame TRANSFER legs the SLAM loop pays:
+
+      H2D  one [1, H, W, 3] frame upload per frame (ingest dtype)
+      D2H  one [H, W] f32 depth fetch (per frame with fetch_depth, else
+           per keyframe — BA still reads keyframe depth)
+
+    Through the tunnel each leg costs ``rpc_floor + bytes/bw``; timing a
+    tiny buffer isolates the floor, and the MARGINAL time of the full-size
+    buffer measures the per-byte cost. The local-chip model charges
+    transfers two ways: at the measured tunnel marginal bandwidth (a hard
+    upper bound — a locally attached chip's PCIe/ICI is strictly faster)
+    and at a 12 GB/s PCIe gen3 x16 reference."""
+    import jax
+
+    def timed(fn, n=10):
+        fn()  # warm (allocator, layout)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            fn()
+        return (time.perf_counter() - t0) / n
+
+    tiny = np.zeros(8, np.uint8)
+    frame = np.zeros((1, H, W, 3), ingest_dtype)
+    # device_put alone may return before the bytes land (async tunnel):
+    # force the round-trip by fetching one scalar of the uploaded buffer.
+    t_h2d_tiny = timed(lambda: np.asarray(jax.device_put(tiny)[0]))
+    t_h2d_frame = timed(
+        lambda: np.asarray(jax.device_put(frame)[0, 0, 0, 0])
+    )
+    dev_depth = jax.device_put(np.zeros((H, W), np.float32))
+    dev_tiny = jax.device_put(tiny)
+    t_d2h_tiny = timed(lambda: np.asarray(dev_tiny))
+    t_d2h_depth = timed(lambda: np.asarray(dev_depth))
+
+    h2d_bytes = int(np.dtype(ingest_dtype).itemsize) * H * W * 3
+    d2h_bytes = 4 * H * W
+    h2d_marg_s = max(t_h2d_frame - t_h2d_tiny, 1e-9)
+    d2h_marg_s = max(t_d2h_depth - t_d2h_tiny, 1e-9)
+    return {
+        "h2d_frame_bytes": h2d_bytes,
+        "d2h_depth_bytes": d2h_bytes,
+        "tunnel_h2d_marginal_ms": round(h2d_marg_s * 1000, 3),
+        "tunnel_d2h_marginal_ms": round(d2h_marg_s * 1000, 3),
+        "tunnel_h2d_bw_GBps": round(h2d_bytes / h2d_marg_s / 1e9, 3),
+        "tunnel_d2h_bw_GBps": round(d2h_bytes / d2h_marg_s / 1e9, 3),
+        "rpc_floor_ms": round(min(t_h2d_tiny, t_d2h_tiny) * 1000, 1),
+    }
+
+
 def slam_bench(
     n_frames: int = 48,
     warmup: int = 10,
     frontend: str = "klt",
     fetch_depth: bool = True,
     vo_ckpt: str | None = None,
-    out_json: str = "docs/bench_slam_r03.json",
+    step_translation: float = 0.01,
+    step_rotation: float = 0.002,
+    uint8_ingest: bool = True,
+    out_json: str = "docs/bench_slam_r04.json",
 ) -> None:
     """Time the FULL SLAM loop — ``MonoVO.process_frame`` (fused depth+pose+
     track dispatch, keyframe policy, jitted windowed BA; or the
     reference-parity ORB path) — over a synthetic textured 640x480 sequence.
 
     Reports the measured end-to-end tunnel number with the per-stage split,
-    and (KLT) a local-chip FPS model built from chained-dispatch DEVICE
-    times: the tunnel adds ~50-100 ms of RPC per forced sync, which a
-    locally attached chip does not pay, so
-    ``local_ms = step + host + kf_rate * (detect + ba)``.
+    and (KLT) a local-chip FPS model from chained-dispatch DEVICE times PLUS
+    explicitly measured transfer legs (H2D frame upload, D2H depth fetch):
+    ``local_ms = step + host + transfers + kf_rate*(detect + ba + build)``,
+    with transfers charged at the measured tunnel marginal bandwidth (upper
+    bound) and at a 12 GB/s PCIe reference, and a (kf_rate x fetch_depth)
+    sensitivity table. ``step_translation``/``step_rotation`` control camera
+    motion, i.e. the realized keyframe rate. ``uint8_ingest`` feeds uint8
+    frames (the video-decode dtype; 4x fewer H2D bytes than fp32).
     The full record is written to ``out_json`` (durable artifact).
     """
     from deep_visual_slam_tpu.data.synthetic import (
@@ -141,7 +201,12 @@ def slam_bench(
     from deep_visual_slam_tpu.slam.monovo import MonoVO
 
     H, W = 480, 640
-    frames, K, _ = synthetic_slam_sequence(n_frames + warmup, H, W, seed=0)
+    frames, K, _ = synthetic_slam_sequence(
+        n_frames + warmup, H, W, seed=0,
+        step_translation=step_translation, step_rotation=step_rotation,
+    )
+    if uint8_ingest:
+        frames = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f in frames]
     from deep_visual_slam_tpu.slam import Networks
 
     nn = (Networks.from_checkpoint(vo_ckpt, image_shape=(H, W))
@@ -174,6 +239,9 @@ def slam_bench(
         "keyframes": kf,
         "frames": n_frames,
         "fetch_depth": fetch_depth,
+        "uint8_ingest": uint8_ingest,
+        "step_translation": step_translation,
+        "step_rotation": step_rotation,
     }
 
     if frontend == "klt":
@@ -184,18 +252,51 @@ def slam_bench(
         # cost a local chip cannot hide — charged into the model alongside
         # the device solve.
         build_ms = vo.mp.build_s / max(kf, 1) * 1000
-        local_ms = (
-            dev["step_ms"] + host_ms
-            + kf_rate * (dev["detect_ms"] + (dev["ba_ms"] or 0.0) + build_ms)
+        legs = _transfer_legs(H, W, np.uint8 if uint8_ingest else np.float32)
+        record["transfer_legs"] = legs
+
+        def model(kfr: float, fetch: bool, h2d_ms: float, d2h_ms: float):
+            # Depth D2H: every frame with fetch_depth, keyframes only
+            # without (the BA problem reads keyframe host depth either way).
+            d2h = d2h_ms if fetch else kfr * d2h_ms
+            ms = (
+                dev["step_ms"] + host_ms + h2d_ms + d2h
+                + kfr * (dev["detect_ms"] + (dev["ba_ms"] or 0.0) + build_ms)
+            )
+            return round(ms, 3), round(1000.0 / ms, 1)
+
+        pcie_bw = 12e9  # PCIe gen3 x16 reference for a locally attached chip
+        h2d_pcie = legs["h2d_frame_bytes"] / pcie_bw * 1000
+        d2h_pcie = legs["d2h_depth_bytes"] / pcie_bw * 1000
+        sens = {}
+        for kfr in sorted({round(kf_rate, 3), 0.25, 0.5, 1.0}):
+            for fetch in (True, False):
+                ms_t, fps_t = model(
+                    kfr, fetch, legs["tunnel_h2d_marginal_ms"],
+                    legs["tunnel_d2h_marginal_ms"],
+                )
+                ms_p, fps_p = model(kfr, fetch, h2d_pcie, d2h_pcie)
+                sens[f"kf{kfr}_fetch{int(fetch)}"] = {
+                    "fps_transfers_at_tunnel_bw": fps_t,
+                    "fps_transfers_at_pcie12": fps_p,
+                    "ms_tunnel_bw": ms_t,
+                    "ms_pcie12": ms_p,
+                }
+        ms_meas, fps_meas = model(
+            kf_rate, fetch_depth, legs["tunnel_h2d_marginal_ms"],
+            legs["tunnel_d2h_marginal_ms"],
         )
         record["device_ms"] = {k: None if v is None else round(v, 3)
                                for k, v in dev.items()}
         record["ba_build_host_ms_per_kf"] = round(build_ms, 3)
         record["keyframe_rate"] = round(kf_rate, 3)
         record["local_chip_model"] = {
-            "ms_per_frame": round(local_ms, 3),
-            "fps": round(1000.0 / local_ms, 1),
-            "formula": "step + host_frontend + kf_rate*(detect + ba + build)",
+            "ms_per_frame": ms_meas,
+            "fps": fps_meas,
+            "formula": "step + host_frontend + h2d_frame + d2h_depth "
+                       "+ kf_rate*(detect + ba + build); transfers at "
+                       "measured tunnel marginal bw (upper bound)",
+            "sensitivity": sens,
         }
 
     print(json.dumps(record))
@@ -408,6 +509,11 @@ if __name__ == "__main__":
     ap.add_argument("--frames", type=int, default=48)
     ap.add_argument("--no_fetch_depth", action="store_true",
                     help="skip the per-frame dense-depth D2H (KLT only)")
+    ap.add_argument("--step_translation", type=float, default=0.01,
+                    help="--slam camera motion per frame (controls kf rate)")
+    ap.add_argument("--step_rotation", type=float, default=0.002)
+    ap.add_argument("--f32_ingest", action="store_true",
+                    help="--slam: upload fp32 frames (legacy; default uint8)")
     ap.add_argument("--vo_ckpt", default=None,
                     help="--slam: run on a trained train_vo.py checkpoint")
     ap.add_argument("--out_json", default=None)
@@ -428,7 +534,10 @@ if __name__ == "__main__":
         slam_bench(
             n_frames=args.frames, frontend=args.frontend,
             fetch_depth=not args.no_fetch_depth, vo_ckpt=args.vo_ckpt,
-            out_json=args.out_json or "docs/bench_slam_r03.json",
+            step_translation=args.step_translation,
+            step_rotation=args.step_rotation,
+            uint8_ingest=not args.f32_ingest,
+            out_json=args.out_json or "docs/bench_slam_r04.json",
         )
     elif args.train:
         train_bench(

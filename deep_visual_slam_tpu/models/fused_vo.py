@@ -53,6 +53,13 @@ def make_fused_vo_apply(depth_model, pose_model, depth_on: str = "first"):
     dtype = depth_model.dtype
 
     def apply(depth_vars, pose_vars, first, second):
+        # uint8 ingest (the SLAM loop's low-H2D path: 4x fewer bytes per
+        # frame upload): scale to [0,1] here, at trace time on the static
+        # dtype — XLA folds the /255 into the stem's input normalization.
+        if first.dtype == jnp.uint8:
+            first = first.astype(jnp.float32) / 255.0
+        if second.dtype == jnp.uint8:
+            second = second.astype(jnp.float32) / 255.0
         pair = jnp.concatenate([first, second], axis=-1)
         pairn = (pair.astype(dtype) - 0.45) / 0.225
         Wd = depth_vars["params"]["encoder"]["Conv_0"]["kernel"]

@@ -553,6 +553,10 @@ def photometric_ba(
     # assembly (docs/bench_slam_r03.json ba_build bucket).
     if isinstance(images, (tuple, list)):
         images = jnp.stack(images)
+    if images.dtype == jnp.uint8:
+        # uint8 device-image cache (the low-H2D SLAM ingest): photometric
+        # units are [0,1] (huber_delta 0.11), so scale inside the jit.
+        images = images.astype(jnp.float32) / 255.0
 
     # Edge list: every (point, dest frame) pair, masked.
     dest_idx = jnp.tile(jnp.arange(F)[None, :], (P, 1))  # [P, F]
@@ -836,7 +840,9 @@ def photometric_ba_scaled(
     full = problem.images
     if isinstance(full, (tuple, list)):  # see photometric_ba
         full = jnp.stack(full)
-        problem = problem._replace(images=full)
+    if full.dtype == jnp.uint8:  # uint8 ingest: scale BEFORE the box pool
+        full = full.astype(jnp.float32) / 255.0
+    problem = problem._replace(images=full)
     F, H, W, C = full.shape
     s = scale
     images = full[:, : (H // s) * s, : (W // s) * s].reshape(

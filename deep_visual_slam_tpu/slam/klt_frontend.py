@@ -72,9 +72,17 @@ class KLTFrontend:
         )
         nn = networks
 
+        def _f01(img):
+            """uint8 ingest -> [0,1] f32 (trace-time dtype gate; the LK
+            max_err threshold and the nets both live in [0,1] units)."""
+            if img.dtype == jnp.uint8:
+                return img.astype(jnp.float32) / 255.0
+            return img
+
         @jax.jit
         def _step(prev_img, prev_pyr, cur_img, uv, alive):
             """ONE dispatch: depth(cur) + pose(prev->cur) + LK track."""
+            prev_img, cur_img = _f01(prev_img), _f01(cur_img)
             disps, (aa, t) = fused(nn._dv, nn._pv, prev_img, cur_img)
             _, depth = disp_to_depth(
                 disps[("disp", 0)], nn.min_depth, nn.max_depth
@@ -88,7 +96,7 @@ class KLTFrontend:
 
         @jax.jit
         def _pyramid(img):
-            return tuple(build_pyramid(rgb_to_gray(img[0]), levels))
+            return tuple(build_pyramid(rgb_to_gray(_f01(img)[0]), levels))
 
         @jax.jit
         def _detect(gray0, uv, alive):

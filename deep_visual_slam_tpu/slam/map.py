@@ -195,18 +195,22 @@ class Map:
         cached = self._dev_images.get(f.id)
         if cached is None:
             img = np.asarray(f.image, np.float32)
+            if f.image.dtype == np.uint8:  # uint8 ingest: photometric [0,1]
+                img = img / 255.0
             if img.ndim == 2:
                 img = np.repeat(img[..., None], 3, axis=-1)
             cached = jnp.asarray(f.a * img + f.b)
             self._dev_images[f.id] = cached
         return cached
 
-    def _zero_image(self, H: int, W: int) -> "jnp.ndarray":
+    def _zero_image(self, H: int, W: int, dtype=jnp.float32) -> "jnp.ndarray":
         """Cached on-device zero image for padded window slots (uploaded
-        once per image size, not once per keyframe)."""
+        once per (size, dtype), not once per keyframe). dtype follows the
+        window's cached images so the solver's in-jit stack is homogeneous
+        (uint8 under the low-H2D ingest path)."""
         cached = getattr(self, "_zero_img_cache", None)
-        if cached is None or cached.shape[:2] != (H, W):
-            cached = jnp.zeros((H, W, 3), jnp.float32)
+        if cached is None or cached.shape[:2] != (H, W) or cached.dtype != dtype:
+            cached = jnp.zeros((H, W, 3), dtype)
             self._zero_img_cache = cached
         return cached
 
@@ -347,10 +351,9 @@ class Map:
         # dominant measured share of BA assembly host time. Pad slots reuse
         # one cached zero image. Small fields stay numpy: the jit call
         # binds them in one batched transfer.
-        zero = self._zero_image(H, W)
-        images = tuple(self._device_image(f) for f in frames) + (zero,) * (
-            F - F_real
-        )
+        images = tuple(self._device_image(f) for f in frames)
+        zero = self._zero_image(H, W, dtype=images[0].dtype)
+        images = images + (zero,) * (F - F_real)
         poses = np.stack(
             [f.pose for f in frames] + [np.eye(4)] * (F - F_real)
         ).astype(np.float32)

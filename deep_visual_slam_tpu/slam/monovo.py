@@ -54,9 +54,16 @@ class Networks:
         self.min_depth = min_depth
         self.max_depth = max_depth
 
+        def _f01(img):
+            """uint8 -> [0,1] f32 at trace time (the low-H2D ingest path);
+            float images pass through."""
+            if img.dtype == jnp.uint8:
+                return img.astype(jnp.float32) / 255.0
+            return img
+
         @jax.jit
         def _depth(img):
-            disps = self.depth_model.apply(self._dv, img, train=False)
+            disps = self.depth_model.apply(self._dv, _f01(img), train=False)
             _, depth = disp_to_depth(
                 disps[("disp", 0)], self.min_depth, self.max_depth
             )
@@ -64,7 +71,7 @@ class Networks:
 
         @jax.jit
         def _pose(img1, img2):
-            pair = jnp.concatenate([img1, img2], axis=-1)
+            pair = jnp.concatenate([_f01(img1), _f01(img2)], axis=-1)
             aa, t = self.pose_model.apply(self._pv, pair, train=False)
             return transformation_from_parameters(aa[:, 0, 0], t[:, 0, 0])
 
@@ -113,16 +120,13 @@ class Networks:
         )
 
     def depth(self, image: np.ndarray) -> np.ndarray:
-        """[H, W, 3] float image -> [H, W] metric depth."""
-        out = self._depth_fn(jnp.asarray(image, jnp.float32)[None])
+        """[H, W, 3] float-or-uint8 image -> [H, W] metric depth."""
+        out = self._depth_fn(self.to_device(image))
         return np.asarray(out[0])
 
     def pose(self, image1: np.ndarray, image2: np.ndarray) -> np.ndarray:
         """Relative transform prev->cur as a 4x4 (prev frame 1, cur frame 2)."""
-        T = self._pose_fn(
-            jnp.asarray(image1, jnp.float32)[None],
-            jnp.asarray(image2, jnp.float32)[None],
-        )
+        T = self._pose_fn(self.to_device(image1), self.to_device(image2))
         return np.asarray(T[0], np.float64)
 
     def step(self, prev_image: np.ndarray, image: np.ndarray):
@@ -142,9 +146,17 @@ class Networks:
 
     @staticmethod
     def to_device(image) -> jnp.ndarray:
-        """[H, W, 3] image -> [1, H, W, 3] fp32 device array (idempotent)."""
+        """[H, W, 3] image -> [1, H, W, 3] device array (idempotent).
+
+        uint8 input stays uint8 ON THE WIRE — 0.92 MB/frame H2D at 640x480
+        instead of 3.7 MB; every jitted consumer (fused step, KLT pyramid,
+        BA image stack) scales to [0,1] on device. Float input uploads as
+        fp32 (the legacy path)."""
         if isinstance(image, jnp.ndarray) and image.ndim == 4:
             return image
+        image = np.asarray(image)
+        if image.dtype == np.uint8:
+            return jnp.asarray(image)[None]
         return jnp.asarray(image, jnp.float32)[None]
 
 

@@ -17,9 +17,12 @@ import os
 
 
 def iter_frames(path: str, image_size):
-    """Yield RGB float frames from a video file or an image directory."""
+    """Yield RGB uint8 frames from a video file or an image directory.
+
+    uint8 end to end: decode is already uint8, the device upload is 4x
+    smaller than fp32, and every jitted consumer (nets, KLT, BA) scales to
+    [0,1] on device — the host never runs an astype over full frames."""
     import cv2
-    import numpy as np
 
     H, W = image_size
     if os.path.isdir(path):
@@ -32,7 +35,7 @@ def iter_frames(path: str, image_size):
             if img is None:
                 continue
             img = cv2.resize(img, (W, H))
-            yield cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+            yield cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     else:
         cap = cv2.VideoCapture(path)
         while True:
@@ -40,7 +43,7 @@ def iter_frames(path: str, image_size):
             if not ok:
                 break
             img = cv2.resize(img, (W, H))
-            yield cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+            yield cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         cap.release()
 
 
@@ -191,7 +194,9 @@ def main() -> None:
             )
             T_wc = np.linalg.inv(pose)
             viz.add_pose(T_wc)
-            viz.add_pointcloud(pts_cam, frame, T_wc)
+            colors = (frame.astype(np.float32) / 255.0
+                      if frame.dtype == np.uint8 else frame)
+            viz.add_pointcloud(pts_cam, colors, T_wc)
             viz.render(follow_cam=True, floor=True)
         n += 1
         if n % 10 == 0:

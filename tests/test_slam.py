@@ -103,6 +103,39 @@ def test_monovo_pipeline_runs(rng):
     assert len(vo.mp.points) > 10
 
 
+def test_monovo_uint8_ingest_matches_float(rng):
+    """uint8 frames (the low-H2D ingest path: 4x fewer upload bytes) run the
+    SAME pipeline as their f32/255 equivalents — KLT tracking, networks and
+    windowed BA all scale on device. Trajectories must agree closely (not
+    bit-exact: the uint8 signature compiles separate XLA programs)."""
+    import jax.numpy as jnp
+
+    from deep_visual_slam_tpu.data.synthetic import (
+        default_intrinsics,
+        synthetic_multidepth_sequence,
+    )
+
+    K = default_intrinsics(H, W)
+    frames, K4, _, _ = synthetic_multidepth_sequence(
+        8, H, W, seed=11, step_translation=0.02, step_rotation=0.004
+    )
+    frames_u8 = [(np.clip(f, 0, 1) * 255).astype(np.uint8) for f in frames]
+    frames_f32 = [f.astype(np.float32) / 255.0 for f in frames_u8]
+
+    nets = Networks(image_shape=(H, W), dtype=jnp.float32)
+    trajs = []
+    for fs in (frames_f32, frames_u8):
+        vo = MonoVO(K, networks=nets, image_shape=(H, W), num_kf=4,
+                    max_points=64, frontend="klt")
+        for f in fs:
+            vo.process_frame(f, optimize=True)
+        trajs.append(vo.trajectory())
+    a, b = trajs
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a[:, :3, 3], b[:, :3, 3], atol=2e-3)
+    np.testing.assert_allclose(a[:, :3, :3], b[:, :3, :3], atol=2e-3)
+
+
 def test_device_image_cache_bounded_without_keyframes(rng):
     """register_device_image must evict immediately: a sequence that never
     adds keyframes (static camera) must not grow device memory per frame."""
