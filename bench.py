@@ -324,6 +324,13 @@ def train_bench(
     update — for the packed-record path (``data/packed.py``) or the
     synthetic generator. frames/s = 3*batch (a snippet is 3 frames; matches
     the device-time accounting in README).
+
+    ``steps`` must span several EPOCHS to be a steady-state number: the
+    loader's per-epoch ``ThreadPoolExecutor.map`` submits the whole epoch
+    eagerly, so the multi-minute first-step compile lets the workers
+    pre-buffer up to one full epoch (62 batches for the default packed
+    fixture) — a 24-step window then excludes nearly all host work (measured:
+    52 steps/s at steps=24 vs the honest 3.06 steps/s at steps=240).
     """
     import os as _os
 
