@@ -353,13 +353,20 @@ def bilinear_sample_many_grad(
 class EdgeGeometry(NamedTuple):
     """Everything the closed-form linearization needs at the last accepted
     evaluation point — carried across LM iterations so the Jacobian pass
-    recomputes NOTHING (no gathers, no reprojection)."""
+    recomputes NOTHING (no gathers, no reprojection).
 
-    gI: jnp.ndarray     # [E, C, 2] bilinear image gradient at uv_dest
-    R_rel: jnp.ndarray  # [E, 3, 3] dest<-host rotation
-    X_h: jnp.ndarray    # [E, 3] point in host camera frame
-    X_d: jnp.ndarray    # [E, 3] point in dest camera frame
-    ok: jnp.ndarray     # [E] in-bounds / valid-depth mask
+    ``gI`` is the image gradient of the (affine-corrected, when a per-frame
+    brightness affine is being estimated) dest intensity — i.e. already
+    scaled by ``a_dest`` — so the pose/depth chain rule is unchanged.
+    ``I_dest`` is the RAW sampled dest intensity: the Jacobian of the
+    residual w.r.t. the dest gain is exactly it (dr/da_d = I_dest)."""
+
+    gI: jnp.ndarray      # [E, C, 2] (affine-scaled) image gradient at uv_dest
+    R_rel: jnp.ndarray   # [E, 3, 3] dest<-host rotation
+    X_h: jnp.ndarray     # [E, 3] point in host camera frame
+    X_d: jnp.ndarray     # [E, 3] point in dest camera frame
+    ok: jnp.ndarray      # [E] in-bounds / valid-depth mask
+    I_dest: jnp.ndarray  # [E, C] raw sampled dest intensity
 
 
 def edges_evaluate(
@@ -372,12 +379,19 @@ def edges_evaluate(
     I_host_e: jnp.ndarray,  # [E, C] prefetched host intensities
     images: jnp.ndarray,    # [F, H, W, C]
     K: jnp.ndarray,
+    ab: "jnp.ndarray | None" = None,  # [F, 2] per-frame brightness (a, b)
 ) -> Tuple[jnp.ndarray, EdgeGeometry]:
     """Batched residual pass at the CURRENT estimate (no retraction — the
     perturbation is identically zero there, so no ``se3_exp`` is evaluated):
     window poses are inverted ONCE per frame (closed form), relative
     transforms come from one [F, F] pair table, and the 4-texel fetch also
-    yields the bilinear gradient. Returns (r [E, C], geometry carry)."""
+    yields the bilinear gradient. Returns (r [E, C], geometry carry).
+
+    ``ab``: per-frame brightness affine variables — the residual becomes
+    ``(a_d·I_dest + b_d) − (a_h·I_host + b_h)`` (D3VO's per-frame affine;
+    the reference STORES these on its edge, ``optimizer.py:284-285`` /
+    ``types_six_dof_expmap.cpp:664-697``, but its runnable path always
+    feeds a=1, b=0 — estimating them is the beat-the-reference path)."""
     F = poses.shape[0]
     _, H, W, _ = images.shape
     inv_poses = se3_inv(poses)
@@ -403,8 +417,17 @@ def edges_evaluate(
         & (d > 1e-3)
     )
     I_dest, gI = bilinear_sample_many_grad(images, e_dest, uv_dest)
-    r = jnp.where(ok[:, None], I_dest - I_host_e, 0.0)
-    return r, EdgeGeometry(gI, R_rel, X_h, X_d, ok)
+    if ab is None:
+        diff = I_dest - I_host_e
+    else:
+        a_d = ab[e_dest, 0][:, None]
+        b_d = ab[e_dest, 1][:, None]
+        a_h = ab[e_host, 0][:, None]
+        b_h = ab[e_host, 1][:, None]
+        diff = (a_d * I_dest + b_d) - (a_h * I_host_e + b_h)
+        gI = gI * a_d[..., None]  # chain rule: d(a_d·I)/duv = a_d·gI
+    r = jnp.where(ok[:, None], diff, 0.0)
+    return r, EdgeGeometry(gI, R_rel, X_h, X_d, ok, I_dest)
 
 
 def edges_jacobian(
@@ -425,7 +448,9 @@ def edges_jacobian(
     with finite-difference image gradients.
 
     Returns (J_dest [E, C, 6], J_host [E, C, 6], J_depth [E, C])."""
-    gI, R_rel, X_h, X_d, ok = geom
+    gI, R_rel, X_h, X_d, ok = (
+        geom.gI, geom.R_rel, geom.X_h, geom.X_d, geom.ok
+    )
     fx, fy = K[0, 0], K[1, 1]
     z = jnp.maximum(X_d[:, 2], 1e-6)
     iz = 1.0 / z
@@ -474,7 +499,9 @@ def huber_weight(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
     return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
 
 
-@partial(jax.jit, static_argnames=("num_iters", "fix_first"))
+@partial(
+    jax.jit, static_argnames=("num_iters", "fix_first", "estimate_affine")
+)
 def photometric_ba(
     problem: BAProblem,
     num_iters: int = 6,
@@ -486,6 +513,9 @@ def photometric_ba(
     prior_rel: jnp.ndarray | None = None,
     num_real: jnp.ndarray | None = None,
     prior_anchor: jnp.ndarray | None = None,
+    estimate_affine: bool = False,
+    init_ab: jnp.ndarray | None = None,
+    affine_prior: float = 10.0,
 ):
     """Run LM over the window; returns (poses, depths, diagnostics).
 
@@ -541,6 +571,16 @@ def photometric_ba(
     below closes the leave-the-image exploit but NOT texture aliasing —
     damping is what makes BA *improve* trajectories (measured in
     ``docs/ba_ablation_r03.json``).
+
+    ``estimate_affine``: per-frame brightness affine (gain a, bias b) as BA
+    VARIABLES — the frame block grows 6 -> 8 and the residual becomes
+    ``(a_d·I_d + b_d) − (a_h·I_h + b_h)``. This is the D3VO formulation the
+    reference's C++ edge stores but its runnable driver never exercises
+    (``slam/MonoVO.py:19-27`` feeds a=1, b=0; ``optimizer.py:284-285``).
+    ``init_ab`` [F, 2] seeds (a, b) (default identity); ``affine_prior``
+    is a quadratic anchor ``w·((a−1)² + b²)`` per frame — (a, b) share a
+    gauge with the depth/intensity scale, so absent exposure evidence they
+    must stay at identity. Estimated values are returned in ``diag["ab"]``.
     """
     F = problem.poses.shape[0]
     P = problem.depths.shape[0]
@@ -601,14 +641,26 @@ def photometric_ba(
         p_mask = ((jnp.arange(F - 1) + 1) < num_real).astype(jnp.float32)
     pw = jnp.asarray(prior_weight, jnp.float32) * p_mask  # [F-1]
 
-    def prior_eval(poses):
-        """Prior residuals, current relative poses, and prior cost."""
+    # Per-frame brightness affine state (estimate_affine only; constant
+    # identity otherwise — carried regardless so the scan carry is uniform).
+    if init_ab is None:
+        ab0 = jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (F, 1))
+    else:
+        ab0 = jnp.asarray(init_ab, jnp.float32)
+    w_ab = jnp.asarray(affine_prior, jnp.float32)
+    ab_anchor = jnp.tile(jnp.array([1.0, 0.0], jnp.float32), (F, 1))
+
+    def prior_eval(poses, ab):
+        """Prior residuals, current relative poses, and prior cost (the
+        odometry chain + the affine anchor when estimating (a, b))."""
         T_rel = poses[1:] @ se3_inv(poses[:-1])
         r = se3_log(T_rel @ prior_inv)  # [F-1, 6]
         cost = jnp.sum(pw * jnp.sum(r * r, axis=-1))
+        if estimate_affine:
+            cost = cost + w_ab * jnp.sum((ab - ab_anchor) ** 2)
         return r, T_rel, cost
 
-    def evaluate(poses, depths):
+    def evaluate(poses, depths, ab):
         """Residual pass: r, IRLS weights, cost, and the full edge geometry
         at this point — exactly what the next linearization here needs
         (g2o likewise only recomputes the error for the LM candidate,
@@ -616,7 +668,7 @@ def photometric_ba(
         """
         r, geom = edges_evaluate(
             poses, depths, e_dest, e_host, e_point, e_dir, I_host_e,
-            images, K,
+            images, K, ab=ab if estimate_affine else None,
         )
         r_norm = jnp.linalg.norm(r, axis=-1)
         w = (
@@ -642,31 +694,49 @@ def photometric_ba(
     onehot_h = (e_host[:, None] == jnp.arange(F)[None, :]).astype(jnp.float32)
     onehot_p = (e_point[:, None] == jnp.arange(P)[None, :]).astype(jnp.float32)
 
-    def build_system(r, w, J_dest, J_host, J_depth, r_prior, T_rel):
+    # Frame-variable dimension: 6 (pose) or 8 (pose + brightness gain/bias).
+    D = 8 if estimate_affine else 6
+
+    def build_system(r, w, J_dest, J_host, J_depth, r_prior, T_rel,
+                     geom, ab):
         """Assemble the damped GN system via one-hot matmuls (zero scatters).
 
-        Each edge touches two pose slots (dest, host); placing both into a
-        window-wide jacobian J_full [E, C, F, 6] (0.9 MB at E=1792) turns
-        every Hessian/gradient block into a dense contraction:
-        H_pp = (wJ)ᵀJ over the [E·C] axis — one [F6, EC]x[EC, F6] matmul.
+        Each edge touches two frame slots (dest, host); placing both into a
+        window-wide jacobian J_full [E, C, F, D] (0.9 MB at E=1792, D=6)
+        turns every Hessian/gradient block into a dense contraction:
+        H_pp = (wJ)ᵀJ over the [E·C] axis — one [FD, EC]x[EC, FD] matmul.
+        With ``estimate_affine`` the two extra columns per frame are the
+        closed-form affine derivatives (dr/da_d = I_dest, dr/db_d = 1,
+        dr/da_h = −I_host, dr/db_h = −1), masked like the rest.
         """
-        # r: [E, C]; J_*: [E, C, 6]; J_depth: [E, C]
+        if estimate_affine:
+            okf = geom.ok[:, None].astype(r.dtype)
+            ones = okf * jnp.ones_like(geom.I_dest)
+            J_dest = jnp.concatenate(
+                [J_dest, (okf * geom.I_dest)[..., None], ones[..., None]],
+                axis=-1,
+            )
+            J_host = jnp.concatenate(
+                [J_host, (-okf * I_host_e)[..., None], -ones[..., None]],
+                axis=-1,
+            )
+        # r: [E, C]; J_*: [E, C, D]; J_depth: [E, C]
         J_full = (
             onehot_d[:, None, :, None] * J_dest[:, :, None, :]
             + onehot_h[:, None, :, None] * J_host[:, :, None, :]
-        )  # [E, C, F, 6]
+        )  # [E, C, F, D]
         wJ_full = J_full * w[:, None, None, None]
         wJz = J_depth * w[:, None]
 
         EC = J_full.shape[0] * J_full.shape[1]
-        A = J_full.reshape(EC, F * 6)
-        wA = wJ_full.reshape(EC, F * 6)
-        H_pp = (wA.T @ A).reshape(F, 6, F, 6).transpose(0, 2, 1, 3)
+        A = J_full.reshape(EC, F * D)
+        wA = wJ_full.reshape(EC, F * D)
+        H_pp = (wA.T @ A).reshape(F, D, F, D).transpose(0, 2, 1, 3)
 
-        # Pose-depth coupling [P, F, 6]: per-edge sum over channels, then
-        # a [P, E]x[E, F6] matmul to place each edge at its host point.
-        pd_edge = jnp.einsum("ecfi,ec->efi", J_full, wJz).reshape(-1, F * 6)
-        H_pd = (onehot_p.T @ pd_edge).reshape(P, F, 6)
+        # Pose-depth coupling [P, F, D]: per-edge sum over channels, then
+        # a [P, E]x[E, FD] matmul to place each edge at its host point.
+        pd_edge = jnp.einsum("ecfi,ec->efi", J_full, wJz).reshape(-1, F * D)
+        H_pd = (onehot_p.T @ pd_edge).reshape(P, F, D)
 
         # Depth diagonal [P] and gradients.
         H_dd = onehot_p.T @ jnp.einsum("ec,ec->e", wJz, J_depth)
@@ -675,40 +745,60 @@ def photometric_ba(
 
         # Odometry-prior blocks (J_{i+1} = I, J_i = −Ad(T_rel); F-1 edges,
         # each frame index touched once per .at group — no duplicate-index
-        # scatters).
+        # scatters). With D=8 the pose prior lives in the first 6 coords.
         Ad = se3_adjoint(T_rel)                      # [F-1, 6, 6]
         AdTAd = jnp.einsum("fki,fkj->fij", Ad, Ad)   # AdᵀAd
         AdTr = jnp.einsum("fji,fj->fi", Ad, r_prior)  # Adᵀ r
         idx = jnp.arange(F - 1)
         pwb = pw[:, None, None]
-        H_pp = H_pp.at[idx, idx].add(pwb * AdTAd)
-        H_pp = H_pp.at[idx + 1, idx + 1].add(pwb * jnp.eye(6))
-        H_pp = H_pp.at[idx + 1, idx].add(-pwb * Ad)
+
+        def embed(block66):
+            """[.., 6, 6] -> [.., D, D] (zero affine rows/cols)."""
+            if D == 6:
+                return block66
+            out = jnp.zeros(block66.shape[:-2] + (D, D), block66.dtype)
+            return out.at[..., :6, :6].set(block66)
+
+        eyeD6 = embed(jnp.broadcast_to(jnp.eye(6), (F - 1, 6, 6)))
+        AdD = embed(Ad)
+        H_pp = H_pp.at[idx, idx].add(pwb * embed(AdTAd))
+        H_pp = H_pp.at[idx + 1, idx + 1].add(pwb * eyeD6)
+        H_pp = H_pp.at[idx + 1, idx].add(-pwb * AdD)
         H_pp = H_pp.at[idx, idx + 1].add(
-            -pwb * jnp.swapaxes(Ad, -1, -2)
+            -pwb * jnp.swapaxes(AdD, -1, -2)
         )
-        b_p = b_p.at[idx + 1].add(-pw[:, None] * r_prior)
-        b_p = b_p.at[idx].add(pw[:, None] * AdTr)
+        if D == 6:
+            b_p = b_p.at[idx + 1].add(-pw[:, None] * r_prior)
+            b_p = b_p.at[idx].add(pw[:, None] * AdTr)
+        else:
+            b_p = b_p.at[idx + 1, :6].add(-pw[:, None] * r_prior)
+            b_p = b_p.at[idx, :6].add(pw[:, None] * AdTr)
+            # Affine anchor: quadratic pull of every (a, b) to (1, 0) —
+            # removes the affine gauge where no exposure evidence exists.
+            diag = jnp.arange(F)
+            H_pp = H_pp.at[diag, diag, 6, 6].add(w_ab)
+            H_pp = H_pp.at[diag, diag, 7, 7].add(w_ab)
+            b_p = b_p.at[:, 6:8].add(-w_ab * (ab - ab_anchor))
 
         return H_pp, H_pd, H_dd, b_p, b_d
 
     def solve(H_pp, H_pd, H_dd, b_p, b_d, lam):
         # LM damping (g2o Levenberg adds lambda to the diagonal) plus the
         # absolute depth floor (see ``depth_damping`` in the docstring).
-        eye6 = jnp.eye(6)
-        H_pp = H_pp + lam * eye6[None, None] * jnp.eye(F)[:, :, None, None]
+        eyeD = jnp.eye(D)
+        H_pp = H_pp + lam * eyeD[None, None] * jnp.eye(F)[:, :, None, None]
         H_dd_d = H_dd + lam + depth_damping + 1e-10
 
         # Schur complement onto poses.
-        A = H_pd.reshape(P, F * 6)  # = H_dp^T rows
+        A = H_pd.reshape(P, F * D)  # = H_dp^T rows
         Ainv = A / H_dd_d[:, None]
-        H_full = H_pp.transpose(0, 2, 1, 3).reshape(F * 6, F * 6)
+        H_full = H_pp.transpose(0, 2, 1, 3).reshape(F * D, F * D)
         H_sc = H_full - A.T @ Ainv
-        b_sc = b_p.reshape(F * 6) - Ainv.T @ b_d
+        b_sc = b_p.reshape(F * D) - Ainv.T @ b_d
 
         if fix_first:
-            H_red = H_sc[6:, 6:]
-            b_red = b_sc[6:]
+            H_red = H_sc[D:, D:]
+            b_red = b_sc[D:]
         else:
             H_red = H_sc
             b_red = b_sc
@@ -718,36 +808,41 @@ def photometric_ba(
         )
         dx_red = jax.scipy.linalg.cho_solve((L, True), b_red)
         dx_pose = (
-            jnp.concatenate([jnp.zeros(6), dx_red]) if fix_first else dx_red
+            jnp.concatenate([jnp.zeros(D), dx_red]) if fix_first else dx_red
         )
 
         # Back-substitute depths: dz = D^-1 (b_d - H_dp dx_pose).
         dz = (b_d - A @ dx_pose) / H_dd_d
-        return dx_pose.reshape(F, 6), dz
+        return dx_pose.reshape(F, D), dz
 
-    def retract(poses, depths, dx_pose, dz):
-        new_poses = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(dx_pose, poses)
-        return new_poses, depths + dz
+    def retract(poses, depths, ab, dx, dz):
+        new_poses = jax.vmap(lambda xi, T: se3_exp(xi) @ T)(
+            dx[:, :6], poses
+        )
+        new_ab = ab + dx[:, 6:8] if estimate_affine else ab
+        return new_poses, depths + dz, new_ab
 
     def lm_step(carry, _):
-        poses, depths, lam, r, w, chi2_photo, chi2_prior, geom = carry
+        poses, depths, ab, lam, r, w, chi2_photo, chi2_prior, geom = carry
         # One closed-form Jacobian pass at the carried geometry; (r, w,
         # geom, chi2_*) come from the last accepted evaluation of this
         # point. Acceptance compares TOTAL energy (photometric + prior);
         # the two terms are carried separately for the diagnostics.
         chi2 = chi2_photo + chi2_prior
         Jd, Jh, Jz = linearize_jac(geom)
-        r_pr, T_rel, _ = prior_eval(poses)
+        r_pr, T_rel, _ = prior_eval(poses, ab)
         H_pp, H_pd, H_dd, b_p, b_d = build_system(
-            r, w, Jd, Jh, Jz, r_pr, T_rel
+            r, w, Jd, Jh, Jz, r_pr, T_rel, geom, ab
         )
         dx_pose, dz = solve(H_pp, H_pd, H_dd, b_p, b_d, lam)
-        cand_poses, cand_depths = retract(poses, depths, dx_pose, dz)
+        cand_poses, cand_depths, cand_ab = retract(
+            poses, depths, ab, dx_pose, dz
+        )
 
         # Residual-only candidate cost; a diverged (non-finite) candidate
         # must be rejected even though masking could zero its residuals.
-        r2, w2, chi2_new, geom2 = evaluate(cand_poses, cand_depths)
-        _, _, prior_new = prior_eval(cand_poses)
+        r2, w2, chi2_new, geom2 = evaluate(cand_poses, cand_depths, cand_ab)
+        _, _, prior_new = prior_eval(cand_poses, cand_ab)
         # Escape-proof acceptance: a photometric edge that LEAVES validity
         # (reprojects out of bounds / depth goes non-positive) keeps its
         # PREVIOUS cost in the comparison. Otherwise LM can "improve" chi2
@@ -771,6 +866,7 @@ def photometric_ba(
 
         new_poses = jnp.where(accept, cand_poses, poses)
         new_depths = jnp.where(accept, cand_depths, depths)
+        new_ab = jnp.where(accept, cand_ab, ab)
         new_r = jnp.where(accept, r2, r)
         new_w = jnp.where(accept, w2, w)
         new_geom = jax.tree.map(
@@ -783,16 +879,18 @@ def photometric_ba(
         new_photo = jnp.where(accept, chi2_new, chi2_photo)
         new_prior = jnp.where(accept, prior_new, chi2_prior)
         return (
-            new_poses, new_depths, lam, new_r, new_w, new_photo,
+            new_poses, new_depths, new_ab, lam, new_r, new_w, new_photo,
             new_prior, new_geom
         ), chi2
 
-    r0, w0, chi2_0, geom0 = evaluate(problem.poses, problem.depths)
-    _, _, prior_0 = prior_eval(problem.poses)
-    (poses, depths, lam, _, _, c_photo, c_prior, _), chi2_hist = jax.lax.scan(
+    r0, w0, chi2_0, geom0 = evaluate(problem.poses, problem.depths, ab0)
+    _, _, prior_0 = prior_eval(problem.poses, ab0)
+    (
+        poses, depths, ab, lam, _, _, c_photo, c_prior, _
+    ), chi2_hist = jax.lax.scan(
         lm_step,
         (
-            problem.poses, problem.depths, jnp.asarray(init_lambda),
+            problem.poses, problem.depths, ab0, jnp.asarray(init_lambda),
             r0, w0, chi2_0, prior_0, geom0,
         ),
         None,
@@ -801,11 +899,13 @@ def photometric_ba(
     return poses, depths, {
         "chi2": c_photo + c_prior, "chi2_photo": c_photo,
         "chi2_prior": c_prior, "chi2_history": chi2_hist, "lambda": lam,
+        "ab": ab,
     }
 
 
 @partial(
-    jax.jit, static_argnames=("scale", "num_iters", "fix_first")
+    jax.jit,
+    static_argnames=("scale", "num_iters", "fix_first", "estimate_affine"),
 )
 def photometric_ba_scaled(
     problem: BAProblem,
@@ -819,6 +919,9 @@ def photometric_ba_scaled(
     prior_rel: "jnp.ndarray | None" = None,
     num_real: "jnp.ndarray | None" = None,
     prior_anchor: "jnp.ndarray | None" = None,
+    estimate_affine: bool = False,
+    init_ab: "jnp.ndarray | None" = None,
+    affine_prior: float = 10.0,
 ):
     """:func:`photometric_ba` on a ``scale``-times-downsampled problem.
 
@@ -835,7 +938,8 @@ def photometric_ba_scaled(
             init_lambda=init_lambda, fix_first=fix_first,
             depth_damping=depth_damping, prior_weight=prior_weight,
             prior_rel=prior_rel, num_real=num_real,
-            prior_anchor=prior_anchor,
+            prior_anchor=prior_anchor, estimate_affine=estimate_affine,
+            init_ab=init_ab, affine_prior=affine_prior,
         )
     full = problem.images
     if isinstance(full, (tuple, list)):  # see photometric_ba
@@ -856,13 +960,15 @@ def photometric_ba_scaled(
     scaled = problem._replace(
         images=images, K=K_s, host_uv=(problem.host_uv + 0.5) / s - 0.5
     )
-    # The prior lives in metric/angle units — scale-invariant, untouched.
+    # The prior lives in metric/angle units — scale-invariant, untouched
+    # (the brightness affine likewise: intensities are [0,1] at all scales).
     return photometric_ba(
         scaled, num_iters=num_iters, huber_delta=huber_delta,
         init_lambda=init_lambda, fix_first=fix_first,
         depth_damping=depth_damping, prior_weight=prior_weight,
         prior_rel=prior_rel, num_real=num_real,
-        prior_anchor=prior_anchor,
+        prior_anchor=prior_anchor, estimate_affine=estimate_affine,
+        init_ab=init_ab, affine_prior=affine_prior,
     )
 
 
@@ -876,6 +982,8 @@ def photometric_ba_pyramid(
     prior_weight: float = 0.0,
     num_real: "jnp.ndarray | None" = None,
     prior_anchor: "jnp.ndarray | None" = None,
+    estimate_affine: bool = False,
+    affine_prior: float = 10.0,
 ):
     """Coarse-to-fine LM: solve at each pyramid level (coarsest first),
     carrying (poses, depths) down — the classical direct-method answer to
@@ -895,6 +1003,7 @@ def photometric_ba_pyramid(
     # dispatches per solve, ~100-200 ms over a tunnelled chip).
     anchor = problem.poses if prior_anchor is None else prior_anchor
     diag = None
+    ab = None  # estimated (a, b) carried coarse -> fine like poses/depths
     for s, it in zip(levels, iters_per_level):
         problem = problem._replace(poses=poses, depths=depths)
         poses, depths, diag = photometric_ba_scaled(
@@ -902,5 +1011,9 @@ def photometric_ba_pyramid(
             huber_delta=huber_delta, fix_first=fix_first,
             depth_damping=depth_damping, prior_weight=prior_weight,
             num_real=num_real, prior_anchor=anchor,
+            estimate_affine=estimate_affine, init_ab=ab,
+            affine_prior=affine_prior,
         )
+        if estimate_affine:
+            ab = diag["ab"]
     return poses, depths, diag

@@ -44,6 +44,8 @@ class Map:
         ba_levels: Tuple[int, ...] = (2, 1),
         depth_damping: float = 1.0,
         pose_prior_weight: float = 1e3,
+        estimate_affine: bool = False,
+        huber_delta: float = 0.11,
     ):
         self.frames: List[Frame] = []
         self.points: List[Point] = []
@@ -75,6 +77,17 @@ class Map:
         # ``photometric_ba`` docstring for the failure it closes (a
         # weakly-observed frame taking an accepted 1.5 m aliased step).
         self.pose_prior_weight = float(pose_prior_weight)
+        # Estimate a per-frame brightness affine (gain, bias) inside the
+        # windowed solve (ba.photometric_ba ``estimate_affine``) — the
+        # D3VO capability the reference stores but never exercises
+        # (``slam/MonoVO.py:19-27`` feeds a=1, b=0). Off by default: it
+        # costs 2 extra columns per frame and only pays under exposure
+        # changes (see docs/ba_affine_r05.json).
+        self.estimate_affine = bool(estimate_affine)
+        # Photometric Huber threshold ([0,1] intensity units; reference
+        # RobustKernelHuber delta, slam/optimizer.py:287). Exposed for the
+        # prior-weight/robustness Pareto sweep (docs/prior_pareto_r05.json).
+        self.huber_delta = float(huber_delta)
         # Accumulated host wall time spent assembling BA problems (its own
         # bucket: it is host work a local chip cannot hide, unlike the
         # pipelined device solve).
@@ -352,6 +365,17 @@ class Map:
         # one cached zero image. Small fields stay numpy: the jit call
         # binds them in one batched transfer.
         images = tuple(self._device_image(f) for f in frames)
+        # The solver's in-jit stack requires one dtype across the window:
+        # a uint8/f32 mix would be silently promoted with the /255 branch
+        # keyed on the STACKED dtype — a 255x photometric mismatch. Today
+        # the cache never holds both (keyframe images are never evicted
+        # mid-window); fail loudly if a future change breaks that.
+        if any(im.dtype != images[0].dtype for im in images[1:]):
+            raise AssertionError(
+                "window images have mixed dtypes: "
+                f"{[str(im.dtype) for im in images]} — the BA image stack "
+                "must be homogeneous (uint8 OR f32, never both)"
+            )
         zero = self._zero_image(H, W, dtype=images[0].dtype)
         images = images + (zero,) * (F - F_real)
         poses = np.stack(
@@ -427,6 +451,8 @@ class Map:
             poses, depths, diag = photometric_ba(
                 problem, num_iters=iters, depth_damping=self.depth_damping,
                 prior_weight=self.pose_prior_weight, num_real=n_real,
+                estimate_affine=self.estimate_affine,
+                huber_delta=self.huber_delta,
             )
         else:
             poses, depths, diag = photometric_ba_pyramid(
@@ -434,6 +460,8 @@ class Map:
                 iters_per_level=(iters,) * len(self.ba_levels),
                 depth_damping=self.depth_damping,
                 prior_weight=self.pose_prior_weight, num_real=n_real,
+                estimate_affine=self.estimate_affine,
+                huber_delta=self.huber_delta,
             )
         if verbose:
             print(
@@ -454,53 +482,208 @@ class Map:
         self._evict_device_images()
         return True
 
-    def global_bundle_adjustment(
-        self, intrinsic: np.ndarray, iters: int = 20, verbose: bool = True
-    ) -> bool:
-        """BA over ALL keyframes, staged x3 (reference ``:99-220``)."""
-        self.flush_ba()
-        frames = self.keyframes
-        if len(frames) < 2:
-            return False
-        built = self._build_problem(
-            intrinsic, frames, max(self.max_points, 512),
-            pad_frames=self.num_kf,
+    # --------------------------------------------------------- global BA
+    _F_BUCKETS = (8, 16, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+    _P_BUCKETS = (256, 512, 1024, 2048, 4096)
+
+    @staticmethod
+    def _bucket(n: int, buckets) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return n
+
+    def _gather_global_tracks(self, kfs: List[Frame], max_points: int,
+                              max_offsets: int):
+        """Track gather over the FULL keyframe history for
+        :meth:`global_bundle_adjustment` — includes points already
+        marginalized by windowed BA (``Point.valid`` is ignored: validity
+        only marks a point as done for the sliding WINDOW; its
+        observations remain true history). Observations more than
+        ``max_offsets`` keyframes after a point's host are dropped (the
+        offset-banded solver's track-length cap).
+
+        Returns ``(points, host_uv [n,2] f32, host_idx [n] i32,
+        depth [n] f32, weight [n] f32, obs_off [n, max_offsets] bool)``
+        or None when no multi-keyframe track exists.
+        """
+        F_hist = len(kfs)
+        snaps = [getattr(f, "slot_pt_id", None) for f in kfs]
+        if all(s is not None for s in snaps):
+            # KLT path: pure array ops over the per-keyframe slot->Point-id
+            # snapshots (same layout as _gather_tracks_fast, full history).
+            M = np.stack(snaps)  # [F_hist, S]
+            uids, inv = np.unique(M, return_inverse=True)
+            inv = inv.reshape(M.shape)
+            obs_full = np.zeros((len(uids), F_hist), bool)
+            obs_full[inv, np.arange(F_hist)[:, None]] = True
+            slot_arr = np.zeros(len(uids), np.int64)
+            slot_arr[inv] = np.broadcast_to(np.arange(M.shape[1]), M.shape)
+            n_obs = obs_full.sum(1)
+            keep = (uids >= 0) & (n_obs >= 2)
+            if not keep.any():
+                return None
+            order = np.flatnonzero(keep)[
+                np.argsort(-n_obs[keep], kind="stable")
+            ][:max_points]
+            host_f = obs_full[order].argmax(1)
+            slots = slot_arr[order]
+            kps_all = np.stack([f.kps for f in kfs])
+            uv = kps_all[host_f, slots].astype(np.float32)
+            obs_sel = obs_full[order]
+            points = [self.points[u] for u in uids[order]]
+        else:
+            # ORB path: Point walk over the history keyframe set.
+            frame_index = {id(f): i for i, f in enumerate(kfs)}
+            items = []
+            for pt in self.points:
+                local = [
+                    (fr, idx)
+                    for fr, idx in zip(pt.frames, pt.idxs)
+                    if id(fr) in frame_index
+                ]
+                if len(local) > 1:
+                    items.append((pt, local))
+            if not items:
+                return None
+            items.sort(key=lambda kv: -len(kv[1]))
+            items = items[:max_points]
+            n = len(items)
+            host_f = np.zeros(n, np.int64)
+            uv = np.zeros((n, 2), np.float32)
+            obs_sel = np.zeros((n, F_hist), bool)
+            points = []
+            for i, (pt, local) in enumerate(items):
+                hf, hkp = local[0]
+                host_f[i] = frame_index[id(hf)]
+                uv[i] = hf.kps[hkp]
+                for fr, _ in local:
+                    obs_sel[i, frame_index[id(fr)]] = True
+                points.append(pt)
+
+        # Offset grid: observed at host + 1 + l, l in [0, max_offsets).
+        cols = host_f[:, None] + 1 + np.arange(max_offsets)[None, :]
+        in_range = cols < F_hist
+        obs_off = (
+            np.take_along_axis(
+                obs_sel, np.clip(cols, 0, F_hist - 1), axis=1
+            )
+            & in_range
         )
-        if built is None:
+        # A host whose every observation fell beyond the offset cap has no
+        # edges; keep it (zero rows are masked in the solver) — dropping
+        # would reshuffle the points list for no benefit.
+        xs = uv[:, 0].astype(np.int64)
+        ys = uv[:, 1].astype(np.int64)
+        depth = np.empty(len(points), np.float32)
+        unc = np.empty(len(points), np.float32)
+        for fi in np.unique(host_f):
+            sel = host_f == fi
+            depth[sel] = kfs[fi].depth[ys[sel], xs[sel]]
+            unc[sel] = kfs[fi].uncertainty[ys[sel], xs[sel]]
+        weight = self.alpha**2 / (self.alpha**2 + np.sqrt(np.abs(unc)) ** 2)
+        return (
+            points, uv, host_f.astype(np.int32),
+            np.maximum(0.01, depth), weight.astype(np.float32),
+            obs_off,
+        )
+
+    def global_bundle_adjustment(
+        self, intrinsic: np.ndarray, iters: int = 21, verbose: bool = True,
+        max_offsets: int = 8, max_points: int = 2048,
+    ) -> bool:
+        """Photometric BA over the FULL keyframe history
+        (reference ``slam/optimizer.py:99-220``: one graph over all
+        keyframes, 20 iterations staged x3 — here the iterations run as one
+        coarse-to-fine pyramid pass; LM re-linearizes every iteration, so
+        extra stages add nothing the scan's later iterations don't).
+
+        Unlike the windowed solve this covers keyframes already
+        MARGINALIZED out of the sliding window — the drift-correction
+        regime global BA exists for. Shapes are bucketed (``_F_BUCKETS`` /
+        ``_P_BUCKETS``) so a growing trajectory compiles O(log F) programs,
+        and the track-banded solver (``slam/global_ba.py``) keeps the edge
+        set at P x ``max_offsets`` regardless of trajectory length. Images
+        ship as ONE stacked upload (uint8 when every keyframe ingested
+        uint8 with identity brightness affine).
+        """
+        from deep_visual_slam_tpu.slam.global_ba import (
+            GlobalBAProblem,
+            photometric_ba_global_pyramid,
+        )
+
+        self.flush_ba()
+        kfs = [f for f in self.frames if f.anchor is f]
+        F_real = len(kfs)
+        if F_real < 2:
             return False
-        problem, points = built
-        n_real = jnp.asarray(len(frames), jnp.int32)
-        poses, depths = problem.poses, problem.depths
-        # Anchor the odometry prior at the PRE-BA pose chain for ALL three
-        # stages: letting each stage default to its input poses would
-        # re-anchor the prior at the previous stage's partially-converged
-        # output, allowing a weakly-observed frame up to 3 aliased steps —
-        # exactly the drift the prior exists to forbid (same invariant as
-        # photometric_ba_pyramid's levels). Derived inside the jit.
-        anchor = poses
-        for stage in range(3):
-            problem = problem._replace(poses=poses, depths=depths)
-            if self.ba_levels == (1,):
-                poses, depths, diag = photometric_ba(
-                    problem, num_iters=max(iters // 3, 1),
-                    depth_damping=self.depth_damping,
-                    prior_weight=self.pose_prior_weight, num_real=n_real,
-                    prior_anchor=anchor,
-                )
-            else:
-                poses, depths, diag = photometric_ba_pyramid(
-                    problem, levels=self.ba_levels,
-                    iters_per_level=(max(iters // 3, 1),)
-                    * len(self.ba_levels),
-                    depth_damping=self.depth_damping,
-                    prior_weight=self.pose_prior_weight, num_real=n_real,
-                    prior_anchor=anchor,
-                )
-            if verbose:
-                print(
-                    f"global BA stage {stage + 1}: "
-                    f"chi2_photo {float(diag['chi2_photo']):.6f} "
-                    f"(+prior {float(diag['chi2_prior']):.6f})"
-                )
-        self._write_back(frames, points, poses[: len(frames)], depths)
+        gathered = self._gather_global_tracks(kfs, max_points, max_offsets)
+        if gathered is None:
+            return False
+        points, uv, host_idx, depth0, weight, obs_off = gathered
+        n = len(points)
+        F = self._bucket(F_real, self._F_BUCKETS)
+        P = self._bucket(max(n, 1), self._P_BUCKETS)
+        H, W = kfs[0].image.shape[:2]
+
+        uint8_ok = all(
+            f.image.dtype == np.uint8 and f.a == 1.0 and f.b == 0.0
+            for f in kfs
+        )
+        if uint8_ok:
+            stack = np.zeros((F, H, W, 3), np.uint8)
+            for i, f in enumerate(kfs):
+                stack[i] = f.image
+        else:
+            stack = np.zeros((F, H, W, 3), np.float32)
+            for i, f in enumerate(kfs):
+                img = np.asarray(f.image, np.float32)
+                if f.image.dtype == np.uint8:
+                    img = img / 255.0
+                if img.ndim == 2:
+                    img = np.repeat(img[..., None], 3, axis=-1)
+                stack[i] = f.a * img + f.b
+
+        host_uv = np.zeros((P, 2), np.float32)
+        host_i = np.zeros(P, np.int32)
+        depths = np.full(P, 1.0, np.float32)
+        w_arr = np.zeros(P, np.float32)
+        obs = np.zeros((P, max_offsets), bool)
+        host_uv[:n] = uv
+        host_i[:n] = host_idx
+        depths[:n] = depth0
+        w_arr[:n] = weight
+        obs[:n] = obs_off
+
+        poses = np.stack(
+            [f.pose for f in kfs] + [np.eye(4)] * (F - F_real)
+        ).astype(np.float32)
+        problem = GlobalBAProblem(
+            images=jnp.asarray(stack),
+            K=np.asarray(intrinsic, np.float32),
+            poses=poses,
+            depths=depths,
+            host_uv=host_uv,
+            host_idx=host_i,
+            obs_off=obs,
+            weight=w_arr,
+        )
+        n_real = jnp.asarray(F_real, jnp.int32)
+        levels = self.ba_levels
+        ipl = tuple(max(iters // len(levels), 1) for _ in levels)
+        new_poses, new_depths, diag = photometric_ba_global_pyramid(
+            problem, levels=levels, iters_per_level=ipl,
+            depth_damping=self.depth_damping,
+            prior_weight=self.pose_prior_weight, num_real=n_real,
+            huber_delta=self.huber_delta,
+        )
+        if verbose:
+            print(
+                f"global BA ({F_real} keyframes, {n} tracks): "
+                f"chi2_photo {float(diag['chi2_photo']):.6f} "
+                f"(+prior {float(diag['chi2_prior']):.6f})"
+            )
+        self._write_back(
+            kfs, points, np.asarray(new_poses)[:F_real], new_depths
+        )
         return True

@@ -152,8 +152,15 @@ class Networks:
         instead of 3.7 MB; every jitted consumer (fused step, KLT pyramid,
         BA image stack) scales to [0,1] on device. Float input uploads as
         fp32 (the legacy path)."""
-        if isinstance(image, jnp.ndarray) and image.ndim == 4:
-            return image
+        if isinstance(image, jnp.ndarray):
+            if image.ndim == 4:
+                return image
+            # Already on device: stay there (np.asarray would round-trip
+            # the frame through the host — a latency trap over a ~100 ms
+            # RPC tunnel).
+            if image.dtype == jnp.uint8:
+                return image[None]
+            return image.astype(jnp.float32)[None]
         image = np.asarray(image)
         if image.dtype == np.uint8:
             return jnp.asarray(image)[None]
@@ -185,11 +192,15 @@ class MonoVO:
         ba_levels=(2, 1),
         depth_damping: float = 1.0,
         pose_prior_weight: float = 1e3,
+        estimate_affine: bool = False,
+        huber_delta: float = 0.11,
     ):
         self.intrinsic = np.asarray(intrinsic)
         self.mp = Map(num_kf=num_kf, max_points=max_points,
                       ba_levels=ba_levels, depth_damping=depth_damping,
-                      pose_prior_weight=pose_prior_weight)
+                      pose_prior_weight=pose_prior_weight,
+                      estimate_affine=estimate_affine,
+                      huber_delta=huber_delta)
         self.nn = networks or Networks(image_shape=image_shape)
         # Cumulative per-stage wall time (seconds) for `bench.py --slam`.
         self.timings = {

@@ -98,13 +98,15 @@ def make_oracle_inits(gt_cw, gt_depths, seed, rot_std_deg, trans_std,
 
 def run_once(nn_factory, frames, K, optimize: bool, global_ba: bool,
              ba_levels=(2, 1), oracle=None, depth_damping=1.0,
-             pose_prior_weight=1e3, frontend="klt"):
+             pose_prior_weight=1e3, frontend="klt",
+             estimate_affine=False, huber_delta=0.11):
     """One SLAM pass; returns (traj T_wc [N,4,4], keyframe ids, seconds)."""
     from deep_visual_slam_tpu.slam import MonoVO
 
     vo = MonoVO(K, image_shape=(H, W), networks=nn_factory(),
                 ba_levels=ba_levels, depth_damping=depth_damping,
-                pose_prior_weight=pose_prior_weight, frontend=frontend)
+                pose_prior_weight=pose_prior_weight, frontend=frontend,
+                estimate_affine=estimate_affine, huber_delta=huber_delta)
     t0 = time.perf_counter()
     for i, f in enumerate(frames):
         kw = {}
@@ -182,6 +184,18 @@ def main() -> None:
                     help="odometry relative-pose prior weight (D3VO Eq. 15;"
                     " 0.0 disables — weakly-observed frames then take "
                     "accepted aliased steps, see ba.photometric_ba)")
+    ap.add_argument("--huber_delta", type=float, default=0.11,
+                    help="photometric Huber threshold ([0,1] intensity "
+                    "units; the robustness axis of the prior Pareto sweep)")
+    ap.add_argument("--estimate_affine", action="store_true",
+                    help="estimate per-frame brightness (a, b) inside BA "
+                    "(ba.photometric_ba estimate_affine — the D3VO affine "
+                    "the reference stores but never exercises)")
+    ap.add_argument("--exposure_ramp", type=float, default=0.0,
+                    help="apply a multiplicative exposure ramp across the "
+                    "sequence: frame i gain = 1 + ramp*(2*i/(N-1) - 1), "
+                    "e.g. 0.3 sweeps gain 0.7 -> 1.3 (the affine-BA "
+                    "ablation fixture; 0 = off)")
     args = ap.parse_args()
     global H, W
     H, W = args.size
@@ -218,6 +232,9 @@ def main() -> None:
             "ba_levels": list(args.ba_levels),
             "depth_damping": args.depth_damping,
             "pose_prior_weight": args.pose_prior_weight,
+            "estimate_affine": args.estimate_affine,
+            "exposure_ramp": args.exposure_ramp,
+            "huber_delta": args.huber_delta,
             "oracle_noise": (
                 dict(rot_deg=args.rot_noise_deg, trans=args.trans_noise,
                      depth=args.depth_noise)
@@ -250,6 +267,19 @@ def main() -> None:
                 step_translation=args.step_translation,
                 step_rotation=args.step_rotation,
             )
+        if args.exposure_ramp:
+            # Per-frame multiplicative exposure sweeping 1-r -> 1+r — the
+            # fixture where photometric BA WITHOUT affine terms degrades
+            # (consecutive frames differ by a few % gain) and per-frame
+            # (a, b) estimation should recover it.
+            nfr = len(frames)
+            frames = [
+                np.clip(
+                    f * (1.0 + args.exposure_ramp * (2 * i / (nfr - 1) - 1)),
+                    0.0, 1.0,
+                ).astype(np.float32)
+                for i, f in enumerate(frames)
+            ]
         oracle = None
         if args.init == "oracle":
             oracle = make_oracle_inits(
@@ -264,6 +294,8 @@ def main() -> None:
                 depth_damping=args.depth_damping,
                 pose_prior_weight=args.pose_prior_weight,
                 frontend=args.frontend,
+                estimate_affine=args.estimate_affine,
+                huber_delta=args.huber_delta,
             )
             m = evaluate(traj, gt_cw, kf_ids)
             m["seconds"] = round(secs, 1)
