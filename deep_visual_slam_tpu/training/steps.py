@@ -61,7 +61,7 @@ def _jit_step(step_fn, mesh: Optional[Mesh], donate_state: bool = True):
 def make_vo_train_step(
     depth_model, pose_model, cfg: vo_learner.VOLossConfig,
     mesh: Optional[Mesh] = None, remat: bool = False,
-    device_augment: bool = False,
+    device_augment: bool = False, accum_steps: int = 1,
 ):
     """Returns ``train_step(state, batch, rng) -> (new_state, losses)``.
 
@@ -75,7 +75,65 @@ def make_vo_train_step(
     ``device_augment=True`` applies the triplet ColorJitter ON DEVICE
     (``training/augment.py``) — pair with loaders built with
     ``augment=False`` so the weak host only reads+collates.
+
+    ``accum_steps > 1``: gradient accumulation — the batch (leading dim B)
+    is split into ``accum_steps`` microbatches of B/accum_steps, gradients
+    are averaged over a ``lax.scan`` of per-microbatch backward passes, and
+    ONE optimizer update is applied. This is how the reference's bs16
+    anchor config (``vo/config.yaml:41-48``, one 30 GB GPU) runs on a chip
+    where bs16 activations hit the HBM wall (measured: docs/remat_r03.json)
+    — bs8 x 2 sees the identical averaged gradient a bs16 step would (the
+    photometric loss is a per-sample mean), at half the peak activation
+    memory. BatchNorm statistics are updated sequentially per microbatch
+    (two EMA steps of momentum m instead of one over the joint batch —
+    the standard accumulation approximation).
     """
+
+    def grads_of(params, batch_stats, batch, rng):
+        """One microbatch backward pass -> (grads, losses, new_stats)."""
+
+        def loss_fn(p):
+            mut = {}
+
+            # Pure (params, stats, x) -> (out, updated_stats) so
+            # jax.checkpoint can wrap it (the mutable-collection side
+            # channel must flow through the return value, not a closure).
+            def depth_fwd(dp, bs, x):
+                return depth_model.apply(
+                    {"params": dp, "batch_stats": bs},
+                    x,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+
+            if remat:
+                depth_fwd = jax.checkpoint(depth_fwd)
+
+            def depth_apply(_, x, train):
+                out, upd = depth_fwd(p["depth"], batch_stats["depth"], x)
+                mut["depth"] = upd["batch_stats"]
+                return out
+
+            def pose_apply(_, pairs, train):
+                out, upd = pose_model.apply(
+                    {"params": p["pose"], "batch_stats": batch_stats["pose"]},
+                    pairs,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                mut["pose"] = upd["batch_stats"]
+                return out
+
+            _, losses = vo_learner.process_batch(
+                depth_apply, pose_apply, None, None, batch, cfg, rng,
+                train=True,
+            )
+            return losses["loss"], (losses, mut)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        return grads, losses, new_stats
 
     def train_step(state: TrainState, batch, rng):
         batch = _scale_uint8_images(batch)
@@ -86,48 +144,36 @@ def make_vo_train_step(
 
             rng, jrng = jax.random.split(rng)
             batch = batch_snippet_jitter(batch, jrng)
-        def loss_fn(params):
-            mut = {}
 
-            # Pure (params, stats, x) -> (out, updated_stats) so
-            # jax.checkpoint can wrap it (the mutable-collection side
-            # channel must flow through the return value, not a closure).
-            def depth_fwd(p, bs, x):
-                return depth_model.apply(
-                    {"params": p, "batch_stats": bs},
-                    x,
-                    train=True,
-                    mutable=["batch_stats"],
-                )
-
-            if remat:
-                depth_fwd = jax.checkpoint(depth_fwd)
-
-            def depth_apply(_, x, train):
-                out, upd = depth_fwd(
-                    params["depth"], state.batch_stats["depth"], x
-                )
-                mut["depth"] = upd["batch_stats"]
-                return out
-
-            def pose_apply(_, pairs, train):
-                out, upd = pose_model.apply(
-                    {"params": params["pose"], "batch_stats": state.batch_stats["pose"]},
-                    pairs,
-                    train=True,
-                    mutable=["batch_stats"],
-                )
-                mut["pose"] = upd["batch_stats"]
-                return out
-
-            _, losses = vo_learner.process_batch(
-                depth_apply, pose_apply, None, None, batch, cfg, rng, train=True
+        if accum_steps <= 1:
+            grads, losses, new_stats = grads_of(
+                state.params, state.batch_stats, batch, rng
             )
-            return losses["loss"], (losses, mut)
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape(
+                    accum_steps, x.shape[0] // accum_steps, *x.shape[1:]
+                ),
+                batch,
+            )
+            rngs = jax.random.split(rng, accum_steps)
 
-        (_, (losses, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
+            def body(carry, xs):
+                stats, gacc = carry
+                mb, r = xs
+                g, losses, stats = grads_of(state.params, stats, mb, r)
+                gacc = jax.tree.map(jnp.add, gacc, g)
+                return (stats, gacc), losses
+
+            (new_stats, gsum), losses_seq = jax.lax.scan(
+                body,
+                (state.batch_stats,
+                 jax.tree.map(jnp.zeros_like, state.params)),
+                (micro, rngs),
+            )
+            grads = jax.tree.map(lambda g: g / accum_steps, gsum)
+            losses = jax.tree.map(lambda l: l.mean(0), losses_seq)
+
         new_state = state.apply_gradients(grads).replace(batch_stats=new_stats)
         losses["grad_norm"] = jnp.sqrt(
             sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree_util.tree_leaves(grads))

@@ -134,6 +134,11 @@ class Trainer:
             self.depth_model, self.pose_model, self.loss_cfg, mesh=self.mesh,
             remat=t.get("remat", False),
             device_augment=t.get("device_augment", False),
+            # Train.accum_steps: gradient accumulation — bs16-effective
+            # training (the reference anchor, vo/config.yaml:41-48) as
+            # batch_size=8, accum_steps=2 on a chip where bs16 activations
+            # hit the HBM wall (docs/remat_r03.json).
+            accum_steps=int(t.get("accum_steps", 1)),
         )
         self.eval_step = make_vo_eval_step(
             self.depth_model, self.pose_model, self.loss_cfg, mesh=self.mesh

@@ -101,6 +101,40 @@ def test_uint8_batch_matches_f32_train_step():
         )
 
 
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2 on a batch whose two halves are IDENTICAL must equal
+    the plain (accum_steps=1) step on the same batch: the photometric loss
+    is a per-sample mean, BN batch statistics over a duplicated batch equal
+    those over one half, and the averaged gradient of two identical
+    microbatches is the microbatch gradient. This pins the accumulation
+    path's semantics — the bs16-anchor equivalence (reference
+    ``vo/config.yaml:41-48``) rests on it. auto_mask=False removes the
+    rng tie-break noise so both paths see identical losses."""
+    depth_model, pose_model = _small_models()
+    cfg = VOLossConfig(auto_mask=False)
+    half, _ = synthetic_vo_batch(3, 2, H, W)
+    batch = jax.tree_util.tree_map(
+        lambda x: np.concatenate([x, x], axis=0), half
+    )
+    rng = jax.random.PRNGKey(7)
+
+    step1 = make_vo_train_step(depth_model, pose_model, cfg)
+    stepA = make_vo_train_step(depth_model, pose_model, cfg, accum_steps=2)
+    sa, la = step1(_vo_state(depth_model, pose_model), dict(batch), rng)
+    sb, lb = stepA(_vo_state(depth_model, pose_model), dict(batch), rng)
+
+    np.testing.assert_allclose(
+        float(la["loss"]), float(lb["loss"]), atol=1e-5, rtol=0
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(sa.params),
+        jax.tree_util.tree_leaves(sb.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=0
+        )
+
+
 def test_vo_train_step_updates_both_networks():
     depth_model, pose_model = _small_models()
     state = _vo_state(depth_model, pose_model)
