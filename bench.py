@@ -25,6 +25,72 @@ import numpy as np
 
 BASELINE_FPS = 60.0  # north-star: >= 60 FPS/chip (BASELINE.md)
 
+# Published per-chip peaks (bf16 matmul FLOP/s, HBM bytes/s) keyed on a
+# substring of ``jax.devices()[0].device_kind`` — the roofline denominators.
+# Sources: Google TPU system architecture docs / the scaling book.
+_CHIP_PEAKS = (
+    ("v6", 918e12, 1640e9),       # Trillium / v6e
+    ("v5p", 459e12, 2765e9),
+    ("v5", 197e12, 819e9),        # v5e ("TPU v5 lite")
+    ("v4", 275e12, 1228e9),
+    ("v3", 123e12, 900e9),
+)
+
+
+def _chip_peaks() -> tuple:
+    """(peak_bf16_flops, peak_hbm_Bps, kind) of device 0, or (None, None,
+    kind) for an unknown chip (roofline then reports absolutes only)."""
+    kind = jax.devices()[0].device_kind
+    low = kind.lower()
+    for key, fl, bw in _CHIP_PEAKS:
+        if key in low:
+            return fl, bw, kind
+    return None, None, kind
+
+
+def _roofline(compiled, n_units: int, unit_seconds: float) -> dict:
+    """Roofline record of ONE compiled XLA program from its own cost
+    analysis: FLOPs + HBM bytes per unit (frame / step), achieved rates at
+    the measured time, % of chip peak, and which resource binds.
+
+    ``compiled``: a jax ``Lowered.compile()`` result (or anything with
+    ``cost_analysis()``). ``n_units``: units of work per program execution.
+    ``unit_seconds``: measured wall seconds per unit (device time).
+    XLA's "bytes accessed" is the post-fusion per-op HBM traffic estimate —
+    the right numerator for a bandwidth roofline.
+    """
+    try:
+        ca = compiled.cost_analysis()
+    except Exception as e:  # pragma: no cover - backend without the API
+        return {"error": f"cost_analysis unavailable: {e}"}
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    hbm = float(ca.get("bytes accessed", 0.0))
+    fl_u = flops / n_units
+    by_u = hbm / n_units
+    peak_fl, peak_bw, kind = _chip_peaks()
+    out = {
+        "device_kind": kind,
+        "flops_per_unit": round(fl_u, 0),
+        "hbm_bytes_per_unit": round(by_u, 0),
+        "arithmetic_intensity_flop_per_byte": round(fl_u / max(by_u, 1), 2),
+        "achieved_tflops": round(fl_u / unit_seconds / 1e12, 3),
+        "achieved_hbm_GBps": round(by_u / unit_seconds / 1e9, 2),
+    }
+    if peak_fl:
+        mfu = fl_u / unit_seconds / peak_fl
+        hbm_util = by_u / unit_seconds / peak_bw
+        out["peak_bf16_tflops"] = peak_fl / 1e12
+        out["peak_hbm_GBps"] = peak_bw / 1e9
+        out["mfu_pct"] = round(100 * mfu, 2)
+        out["hbm_util_pct"] = round(100 * hbm_util, 2)
+        out["ridge_flop_per_byte"] = round(peak_fl / peak_bw, 1)
+        out["binding_resource"] = (
+            "hbm_bandwidth" if hbm_util > mfu else "compute_mxu"
+        )
+    return out
+
 
 def _sync_scalar(x) -> float:
     """Force a REAL device sync by fetching one scalar (on the axon tunnel,
@@ -65,6 +131,10 @@ def _klt_device_components(vo, frames) -> dict:
     t0 = time.perf_counter()
     _sync_scalar(run_steps(init, frames_dev))
     step_ms = (time.perf_counter() - t0) / N * 1000
+    step_roofline = _roofline(
+        run_steps.lower(init, frames_dev).compile(),
+        n_units=N, unit_seconds=step_ms / 1000.0,
+    )
 
     # 2) Shi-Tomasi detection (keyframes only).
     f0 = frames_dev[0, 0]
@@ -114,8 +184,17 @@ def _klt_device_components(vo, frames) -> dict:
         t0 = time.perf_counter()
         _sync_scalar(run_ba(jnp.zeros(())))
         ba_ms = (time.perf_counter() - t0) / R * 1000
+        ba_roofline = _roofline(
+            run_ba.lower(jnp.zeros(())).compile(),
+            n_units=R, unit_seconds=ba_ms / 1000.0,
+        )
+    else:
+        ba_roofline = None
 
-    return {"step_ms": step_ms, "detect_ms": detect_ms, "ba_ms": ba_ms}
+    return {
+        "step_ms": step_ms, "detect_ms": detect_ms, "ba_ms": ba_ms,
+        "step_roofline": step_roofline, "ba_roofline": ba_roofline,
+    }
 
 
 def _transfer_legs(H: int, W: int, ingest_dtype) -> dict:
@@ -177,7 +256,7 @@ def slam_bench(
     step_translation: float = 0.01,
     step_rotation: float = 0.002,
     uint8_ingest: bool = True,
-    out_json: str = "docs/bench_slam_r04.json",
+    out_json: str = "docs/bench_slam_r05.json",
 ) -> None:
     """Time the FULL SLAM loop — ``MonoVO.process_frame`` (fused depth+pose+
     track dispatch, keyframe policy, jitted windowed BA; or the
@@ -287,7 +366,14 @@ def slam_bench(
             legs["tunnel_d2h_marginal_ms"],
         )
         record["device_ms"] = {k: None if v is None else round(v, 3)
-                               for k, v in dev.items()}
+                               for k, v in dev.items()
+                               if not k.endswith("roofline")}
+        # Roofline of the two device programs (fused net+track step; the
+        # windowed BA solve): MFU%, HBM%, binding resource (VERDICT r4 #5).
+        record["roofline"] = {
+            "fused_step": dev["step_roofline"],
+            "windowed_ba": dev["ba_roofline"],
+        }
         record["ba_build_host_ms_per_kf"] = round(build_ms, 3)
         record["keyframe_rate"] = round(kf_rate, 3)
         record["local_chip_model"] = {
@@ -314,7 +400,8 @@ def train_bench(
     size=(480, 640),
     device_augment: bool = False,
     uint8_h2d: bool = False,
-    out_json: str = "docs/bench_train_r03.json",
+    accum_steps: int = 1,
+    out_json: str = "docs/bench_train_r05.json",
 ) -> None:
     """END-TO-END training throughput INCLUDING the host input pipeline.
 
@@ -382,7 +469,7 @@ def train_bench(
     state = TrainState.create(variables["params"], variables["batch_stats"], tx)
     train_step = make_vo_train_step(
         depth_model, pose_model, VOLossConfig(),
-        device_augment=device_augment,
+        device_augment=device_augment, accum_steps=accum_steps,
     )
     rng = jax.random.PRNGKey(1)
 
@@ -401,9 +488,31 @@ def train_bench(
     _jax.block_until_ready(losses)
     elapsed = time.perf_counter() - t_start
     fps = steps * batch_size * 3 / elapsed
+
+    # Pure-DEVICE step time (same batch re-dispatched, host pipeline
+    # excluded) + roofline of the compiled train step: MFU%, HBM%, and the
+    # binding resource (VERDICT r4 #5; substantiates the r03
+    # "bandwidth-bound at the HBM wall" claim with numbers).
+    rng, sub = jax.random.split(rng)
+    dev_batch = jax.device_put(batch)
+    compiled = train_step.lower(state, dev_batch, sub).compile()
+    n_dev = 6
+    for _ in range(2):  # warm
+        state, losses = train_step(state, dev_batch, sub)
+    _jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    for _ in range(n_dev):
+        state, losses = train_step(state, dev_batch, sub)
+    _jax.block_until_ready(losses)
+    dev_step_s = (time.perf_counter() - t0) / n_dev
+    roof = _roofline(compiled, n_units=1, unit_seconds=dev_step_s)
+    roof["device_steps_per_sec"] = round(1.0 / dev_step_s, 3)
+
     tag = f"{source}_devaug" if device_augment else source
     if uint8_h2d:
         tag += "_u8"
+    if accum_steps > 1:
+        tag += f"_accum{accum_steps}"  # effective batch = bs * accum
     record = {
         "metric": f"vo_train_host_included_fps_{W}x{H}_bs{batch_size}_{tag}",
         "value": round(fps, 2),
@@ -412,6 +521,7 @@ def train_bench(
         "steps_per_sec": round(steps / elapsed, 3),
         "steps": steps,
         "final_loss": float(np.asarray(losses["loss"])),
+        "roofline": roof,
     }
     print(json.dumps(record))
     if out_json:
@@ -491,6 +601,14 @@ def main() -> None:
 
     total_frames = n_chunks * CHUNK * B
     fps = total_frames / elapsed
+    # Roofline: FLOPs + HBM bytes of the compiled chunk program, per frame,
+    # against chip peaks — turns the FPS headline into an engineering
+    # statement of remaining headroom (VERDICT r4 #5).
+    roof = _roofline(
+        run_chunk.lower(world_T, frames, prev).compile(),
+        n_units=CHUNK * B,
+        unit_seconds=elapsed / total_frames,
+    )
     print(
         json.dumps(
             {
@@ -498,6 +616,7 @@ def main() -> None:
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "roofline": roof,
             }
         )
     )
@@ -536,6 +655,9 @@ if __name__ == "__main__":
     ap.add_argument("--uint8_h2d", action="store_true",
                     help="--train: ship uint8 batches, scale on device "
                     "(4x fewer H2D bytes; packed source only)")
+    ap.add_argument("--accum_steps", type=int, default=1,
+                    help="--train: gradient accumulation (effective batch "
+                    "= batch_size * accum_steps; the bs16-anchor path)")
     args = ap.parse_args()
     if args.slam:
         slam_bench(
@@ -544,7 +666,7 @@ if __name__ == "__main__":
             step_translation=args.step_translation,
             step_rotation=args.step_rotation,
             uint8_ingest=not args.f32_ingest,
-            out_json=args.out_json or "docs/bench_slam_r04.json",
+            out_json=args.out_json or "docs/bench_slam_r05.json",
         )
     elif args.train:
         train_bench(
@@ -552,7 +674,8 @@ if __name__ == "__main__":
             packed_root=args.packed_root,
             device_augment=args.device_augment,
             uint8_h2d=args.uint8_h2d,
-            out_json=args.out_json or "docs/bench_train_r04.json",
+            accum_steps=args.accum_steps,
+            out_json=args.out_json or "docs/bench_train_r05.json",
         )
     else:
         main()

@@ -414,12 +414,31 @@ class VoDataLoader:
                     "on uint8)"
                 )
 
-            def _enable_uint8(ds):
-                if hasattr(ds, "output_uint8"):
+            # uint8_h2d is all-or-nothing: a ConcatDataset mixing uint8
+            # snippet sources with f32 sources would hand collate() mixed
+            # dtypes, and np.stack silently promotes the uint8 samples
+            # (0..255) into an UNSCALED f32 batch — those samples would
+            # train at 255x brightness with no error. If any train source
+            # can't emit uint8, keep the whole train set f32.
+            leaves: list = []
+            _walk(self.train_dataset, leaves.append)
+            unsupported = sorted(
+                {type(d).__name__ for d in leaves
+                 if not hasattr(d, "output_uint8")}
+            )
+            if unsupported:
+                print(
+                    "Warning: Train.uint8_h2d DISABLED — train sources "
+                    f"without uint8 output: {', '.join(unsupported)} "
+                    "(mixing uint8 and f32 samples in one batch would "
+                    "silently train the uint8 ones unscaled)"
+                )
+            else:
+                def _enable_uint8(ds):
                     ds.output_uint8 = True
                     ds.augment = False
 
-            _walk(self.train_dataset, _enable_uint8)
+                _walk(self.train_dataset, _enable_uint8)
 
         use_shuffle = t.get("use_shuffle", True)
         self.train_loader = DataLoader(

@@ -201,6 +201,11 @@ def slam_eval(vo_ckpt: str, redwood_root: str, out: str,
                     [s[name][key] for s in out_rec["per_scene"].values()]
                 )), 6,
             )
+    # Durable per-stage record (the caller also merges this into
+    # parity_results.json; writing here keeps the stage self-contained).
+    os.makedirs(out, exist_ok=True)
+    with open(os.path.join(out, "slam_fixture.json"), "w") as f:
+        json.dump(out_rec, f, indent=1)
     return out_rec
 
 
@@ -328,10 +333,26 @@ def main() -> None:
 
     if "eval" in args.stages:
         # ---- trajectory eval (reference vo/eval_redwood.py formulas).
-        # Skipped when no VO model was trained THIS run: evaluating a
-        # random-init PoseNet would overwrite previously recorded numbers
-        # in the merge below.
+        # Uses the VO model trained THIS run, or --vo_ckpt (the flagship
+        # trained checkpoint — how the headline BASELINE.md table is
+        # produced). With neither, skipped: evaluating a random-init
+        # PoseNet would overwrite previously recorded numbers in the
+        # merge below.
+        pose_vars = None
         if vo_params is not None:
+            pose_vars = {"params": vo_params["pose"],
+                         "batch_stats": vo_stats["pose"]}
+        elif args.vo_ckpt:
+            from deep_visual_slam_tpu.utils.checkpoint import (
+                load_latest_tree,
+            )
+
+            tree, step = load_latest_tree(args.vo_ckpt)
+            print(f"eval: trajectory eval on {args.vo_ckpt} @ step {step}")
+            pose_vars = {"params": tree["params"]["pose"],
+                         "batch_stats": tree["batch_stats"]["pose"]}
+            results["eval_vo_ckpt"] = f"{args.vo_ckpt} @ step {step}"
+        if pose_vars is not None:
             from deep_visual_slam_tpu.eval.redwood_eval import (
                 RedwoodEvaluator,
                 make_pose_fn,
@@ -339,8 +360,7 @@ def main() -> None:
             from deep_visual_slam_tpu.models import PoseNet
 
             pose_model = PoseNet(dtype=jnp.bfloat16)
-            variables = {"params": vo_params["pose"],
-                         "batch_stats": vo_stats["pose"]}
+            variables = pose_vars
             evaluator = RedwoodEvaluator(
                 make_pose_fn(pose_model, variables), redwood_root,
                 image_size=(H, W),
