@@ -56,9 +56,20 @@ class KLTFrontend:
         max_err: float = 0.08,
         nms_radius: int = 7,
         min_tracks: int = 24,
+        intrinsic: "np.ndarray | None" = None,
     ):
         self.nn = networks
         self.P = max_tracks
+        # 3x3 intrinsics for the keyframe score's rotation-flow homography
+        # (K R K^-1). None falls back to the reference's raw R-on-pixels
+        # form, which is a BUG upstream (optimizer.py:76,86 applies the
+        # bare rotation to unnormalized pixel coordinates, so the
+        # perspective division inflates ft with the pixel magnitude —
+        # measured scores of 20-100 at 0.4 px of true flow, forcing EVERY
+        # frame to be a keyframe; documented in README).
+        self.K3 = None if intrinsic is None else np.asarray(
+            intrinsic, np.float64
+        )[:3, :3]
         self.levels = levels
         self.min_tracks = min_tracks
         self.nms_radius = nms_radius
@@ -169,6 +180,10 @@ class KLTFrontend:
         R1 = last_kf_pose[:3, :3]
         R2 = pose_global[:3, :3]
         Ht = R1 @ np.linalg.inv(R2)
+        if self.K3 is not None:
+            # Pixel-space rotation homography: K R K^-1 (the reference
+            # applies the bare R to pixel coords — see __init__ note).
+            Ht = self.K3 @ Ht @ np.linalg.inv(self.K3)
         ones = np.ones((n, 1))
         p = (Ht @ np.concatenate([p2, ones], axis=1).T).T
         proj = p[:, :2] / np.maximum(np.abs(p[:, 2:3]), 1e-9) * np.sign(p[:, 2:3])

@@ -100,6 +100,13 @@ class Map:
         # In-flight windowed BA (pipelined mode): (window, points, poses,
         # depths) device results not yet written back to host state.
         self._pending_ba = None
+        # 3x3 intrinsics for the keyframe score's rotation-flow homography
+        # (K R K^-1); set by the MonoVO driver. None falls back to the
+        # reference's bare R-on-pixels form, a BUG upstream
+        # (optimizer.py:76,86): the perspective division then scales with
+        # pixel magnitude, inflating ft ~50x and forcing every frame to be
+        # a keyframe (documented in README).
+        self.intrinsic3: "np.ndarray | None" = None
 
     # ------------------------------------------------------------- registry
     def add_frame(self, frame) -> int:
@@ -159,6 +166,13 @@ class Map:
         R1 = last_kf.pose[:3, :3]
         R2 = frame.pose[:3, :3]
         homography_t = R1 @ np.linalg.inv(R2)
+        if self.intrinsic3 is not None:
+            # Pixel-space rotation homography K R K^-1 (see __init__ note
+            # on the reference's bare-R bug).
+            homography_t = (
+                self.intrinsic3 @ homography_t
+                @ np.linalg.inv(self.intrinsic3)
+            )
 
         f = 0.0
         ft = 0.0

@@ -201,6 +201,10 @@ class MonoVO:
                       pose_prior_weight=pose_prior_weight,
                       estimate_affine=estimate_affine,
                       huber_delta=huber_delta)
+        # Correct rotation-flow homography for the keyframe score (K R
+        # K^-1; the reference applies bare R to pixels — see Map/
+        # KLTFrontend notes).
+        self.mp.intrinsic3 = self.intrinsic[:3, :3]
         self.nn = networks or Networks(image_shape=image_shape)
         # Cumulative per-stage wall time (seconds) for `bench.py --slam`.
         self.timings = {
@@ -222,7 +226,8 @@ class MonoVO:
             from deep_visual_slam_tpu.slam.klt_frontend import KLTFrontend
 
             self.klt: Optional[KLTFrontend] = KLTFrontend(
-                self.nn, image_shape, max_tracks=max_points
+                self.nn, image_shape, max_tracks=max_points,
+                intrinsic=self.intrinsic,
             )
         else:
             self.klt = None

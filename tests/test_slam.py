@@ -72,6 +72,62 @@ def test_map_keyframe_policy(rng):
     assert m.check_add_key_frame(f2)
 
 
+def test_keyframe_score_rotation_homography_uses_intrinsics(rng):
+    """Pure camera rotation must contribute ~zero translation-flow ft ONLY
+    when the rotation homography is formed in pixel space (K R K^-1). The
+    reference applies the bare R to pixel coordinates
+    (``optimizer.py:76,86``) — the perspective division then scales with
+    the pixel magnitude, inflating ft ~50x (measured: score 20-100 at
+    0.4 px of true flow), which silently forces EVERY frame to be a
+    keyframe. Fixed here (Map.intrinsic3 / KLTFrontend.K3); this test pins
+    both the fix and the failure mode of the bug-compat fallback."""
+    from deep_visual_slam_tpu.data.synthetic import default_intrinsics
+
+    K3 = np.asarray(default_intrinsics(H, W), np.float64)[:3, :3]
+    # Small pure rotation about y.
+    th = 0.002
+    R = np.array(
+        [
+            [np.cos(th), 0, np.sin(th)],
+            [0, 1, 0],
+            [-np.sin(th), 0, np.cos(th)],
+        ]
+    )
+    T2 = np.eye(4)
+    T2[:3, :3] = R
+
+    def build(intrinsic3):
+        m = Map(num_kf=3)
+        m.intrinsic3 = intrinsic3
+        img = _textured_image(rng)
+        depth = np.full((H, W), 2.0, np.float32)
+        unc = np.zeros((H, W), np.float32)
+        f0 = Frame(m, img, depth, unc, np.eye(4))
+        m.check_add_key_frame(f0)
+        # Observed keypoints consistent with the PURE-ROTATION flow: for a
+        # ray d, x1 = K R1 d and x2 = K R2 d, so x2 = K R2 R1^-1 K^-1 x1
+        # (R1 = I here) — exactly the inverse of the score's correction.
+        Hpix = K3 @ R @ np.linalg.inv(K3)
+        f1 = Frame(m, img, depth, unc, T2)
+        kps = f0.kps.astype(np.float64)
+        p = (Hpix @ np.concatenate(
+            [kps, np.ones((len(kps), 1))], axis=1).T).T
+        f1.kps = (p[:, :2] / p[:, 2:3]).astype(f0.kps.dtype)
+        f1.des = f0.des
+        return m, f1
+
+    m_fixed, f1 = build(K3)
+    assert not m_fixed.check_key_frame(f1), (
+        "pure rotation must not trip the keyframe score when ft removes "
+        "rotation flow via K R K^-1"
+    )
+    m_bug, f1b = build(None)  # reference bug-compat fallback
+    assert m_bug.check_key_frame(f1b), (
+        "the bare-R fallback inflates ft and trips the score — if this "
+        "stops holding the fallback semantics changed"
+    )
+
+
 def test_monovo_pipeline_runs(rng):
     """Full SLAM loop over a synthetic translating sequence (untrained nets),
     reference-parity ORB frontend (the KLT default is covered in
