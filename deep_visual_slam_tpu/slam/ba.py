@@ -96,25 +96,43 @@ def bilinear_sample(image: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
 
 def bilinear_sample_stack(
-    images: jnp.ndarray, frame_idx: jnp.ndarray, uv: jnp.ndarray
+    images: jnp.ndarray, frame_idx: jnp.ndarray, uv: jnp.ndarray,
+    channel_first: bool = False,
 ) -> jnp.ndarray:
-    """Sample frame ``frame_idx`` of an [F, H, W, C] stack at continuous
-    (x, y) — a 4-texel gather, so a vmap over edges stays O(edges), not
-    O(edges x image) (the naive per-edge image gather OOMs on TPU).
+    """Sample frame ``frame_idx`` of an [F, H, W, C] stack (or [F, C, H, W]
+    with ``channel_first=True``) at continuous (x, y) — a 4-texel gather, so
+    a vmap over edges stays O(edges), not O(edges x image) (the naive
+    per-edge image gather OOMs on TPU).
+
+    Layout note (measured): any f32 array whose MINOR dim is C=3 — the
+    [F*H*W, C] flatten, and even a materialized [F, H, W, 3] copy — gets
+    TPU tiling T(8,128) with the lane dim padded 3 -> 128 (42.7x HBM;
+    20 GB at F=128 full-res in global BA). The samplers therefore flatten
+    fully to 1-D (pads nothing) and gather C scalars at static channel
+    offsets; global BA additionally stores its stack channel-first so no
+    C-minor array ever exists on device.
     """
-    F, H, W, C = images.shape
+    if channel_first:
+        F, C, H, W = images.shape
+    else:
+        F, H, W, C = images.shape
     x = jnp.clip(uv[0], 0.0, W - 1.0)
     y = jnp.clip(uv[1], 0.0, H - 1.0)
     x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
     wx = x - x0
     wy = y - y0
-    flat = images.reshape(F * H * W, C)
-    base = frame_idx * (H * W) + y0 * W + x0
+    flat = images.reshape(-1)
+    if channel_first:
+        base = (frame_idx * C + jnp.arange(C)) * (H * W) + y0 * W + x0
+        sx, sy = 1, W
+    else:
+        base = (frame_idx * (H * W) + y0 * W + x0) * C + jnp.arange(C)
+        sx, sy = C, W * C
     v00 = flat[base]
-    v01 = flat[base + 1]
-    v10 = flat[base + W]
-    v11 = flat[base + W + 1]
+    v01 = flat[base + sx]
+    v10 = flat[base + sy]
+    v11 = flat[base + sy + sx]
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy
@@ -143,12 +161,14 @@ def bilinear_sample_stack_grad(
     y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
     wx = x - x0
     wy = y - y0
-    flat = images.reshape(F * H * W, C)
-    base = frame_idx * (H * W) + y0 * W + x0
+    # 1-D flatten + per-channel gathers — see bilinear_sample_stack for why
+    # the [F*H*W, C] view is a 42x HBM trap on TPU.
+    flat = images.reshape(F * H * W * C)
+    base = (frame_idx * (H * W) + y0 * W + x0) * C + jnp.arange(C)
     v00 = flat[base]
-    v01 = flat[base + 1]
-    v10 = flat[base + W]
-    v11 = flat[base + W + 1]
+    v01 = flat[base + C]
+    v10 = flat[base + W * C]
+    v11 = flat[base + (W + 1) * C]
     val = (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (
         v10 * (1 - wx) + v11 * wx
     ) * wy
@@ -324,24 +344,37 @@ def _skew(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def bilinear_sample_many_grad(
-    images: jnp.ndarray, frame_idx: jnp.ndarray, uv: jnp.ndarray
+    images: jnp.ndarray, frame_idx: jnp.ndarray, uv: jnp.ndarray,
+    channel_first: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched :func:`bilinear_sample_stack_grad`: frame_idx [E], uv [E, 2]
     -> (I [E, C], dI/d(x,y) [E, C, 2]). Same 4-texel fetch, expressed as
-    batched gathers instead of a vmap of scalar samples."""
-    F, H, W, C = images.shape
+    batched gathers instead of a vmap of scalar samples. 1-D flatten +
+    per-channel gathers — see :func:`bilinear_sample_stack` for the
+    C-minor 42x HBM layout trap and the ``channel_first`` contract."""
+    if channel_first:
+        F, C, H, W = images.shape
+    else:
+        F, H, W, C = images.shape
     x = jnp.clip(uv[:, 0], 0.0, W - 1.0)
     y = jnp.clip(uv[:, 1], 0.0, H - 1.0)
     x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
     wx = (x - x0)[:, None]
     wy = (y - y0)[:, None]
-    flat = images.reshape(F * H * W, C)
-    base = frame_idx * (H * W) + y0 * W + x0
+    flat = images.reshape(-1)
+    if channel_first:
+        base = ((frame_idx[:, None] * C + jnp.arange(C)) * (H * W)
+                + (y0 * W + x0)[:, None])
+        sx, sy = 1, W
+    else:
+        base = ((frame_idx * (H * W) + y0 * W + x0)[:, None] * C
+                + jnp.arange(C))
+        sx, sy = C, W * C
     v00 = flat[base]
-    v01 = flat[base + 1]
-    v10 = flat[base + W]
-    v11 = flat[base + W + 1]
+    v01 = flat[base + sx]
+    v10 = flat[base + sy]
+    v11 = flat[base + sy + sx]
     val = (v00 * (1 - wx) + v01 * wx) * (1 - wy) + (
         v10 * (1 - wx) + v11 * wx
     ) * wy
@@ -377,9 +410,10 @@ def edges_evaluate(
     e_point: jnp.ndarray,   # [E] int32
     e_dir: jnp.ndarray,     # [E, 3] host unprojection ray (depth-1 point)
     I_host_e: jnp.ndarray,  # [E, C] prefetched host intensities
-    images: jnp.ndarray,    # [F, H, W, C]
+    images: jnp.ndarray,    # [F, H, W, C] ([F, C, H, W] if channel_first)
     K: jnp.ndarray,
     ab: "jnp.ndarray | None" = None,  # [F, 2] per-frame brightness (a, b)
+    channel_first: bool = False,
 ) -> Tuple[jnp.ndarray, EdgeGeometry]:
     """Batched residual pass at the CURRENT estimate (no retraction — the
     perturbation is identically zero there, so no ``se3_exp`` is evaluated):
@@ -393,7 +427,10 @@ def edges_evaluate(
     ``types_six_dof_expmap.cpp:664-697``, but its runnable path always
     feeds a=1, b=0 — estimating them is the beat-the-reference path)."""
     F = poses.shape[0]
-    _, H, W, _ = images.shape
+    if channel_first:
+        _, _, H, W = images.shape
+    else:
+        _, H, W, _ = images.shape
     inv_poses = se3_inv(poses)
     T_pair = jnp.einsum("aij,bjk->abik", poses, inv_poses)  # [F, F, 4, 4]
     T_rel = T_pair[e_dest, e_host]  # [E, 4, 4]
@@ -416,7 +453,9 @@ def edges_evaluate(
         & (X_d[:, 2] > 1e-3)
         & (d > 1e-3)
     )
-    I_dest, gI = bilinear_sample_many_grad(images, e_dest, uv_dest)
+    I_dest, gI = bilinear_sample_many_grad(
+        images, e_dest, uv_dest, channel_first=channel_first
+    )
     if ab is None:
         diff = I_dest - I_host_e
     else:

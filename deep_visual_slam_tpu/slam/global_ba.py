@@ -54,7 +54,11 @@ from deep_visual_slam_tpu.slam.ba import (
 class GlobalBAProblem(NamedTuple):
     """Track-banded global BA problem over the FULL keyframe history.
 
-    images:   [F, H, W, C] stack (uint8 or float [0,1]) — padded slots zero
+    images:   [F, C, H, W] CHANNEL-FIRST stack (uint8 or float [0,1]) —
+              padded slots zero. Channel-first is load-bearing on TPU: any
+              materialized array with minor dim C=3 is tiled T(8,128) with
+              the lane padded 3 -> 128 (42.7x HBM — 20 GB at F=128
+              full-res); with (H, W) minor the stack is compact
     K:        [4, 4] intrinsics
     poses:    [F, 4, 4] initial T_cw per keyframe
     depths:   [P] initial host depth per point
@@ -105,11 +109,11 @@ def photometric_ba_global(
         images = images.astype(jnp.float32) / 255.0
     host_uv = problem.host_uv
     if scale != 1:
-        Fi, H0, W0, C0 = images.shape
+        Fi, C0, H0, W0 = images.shape
         s = scale
-        images = images[:, : (H0 // s) * s, : (W0 // s) * s].reshape(
-            Fi, H0 // s, s, W0 // s, s, C0
-        ).mean(axis=(2, 4))
+        images = images[:, :, : (H0 // s) * s, : (W0 // s) * s].reshape(
+            Fi, C0, H0 // s, s, W0 // s, s
+        ).mean(axis=(3, 5))
         K = K.at[0, 0].set(K[0, 0] / s)
         K = K.at[1, 1].set(K[1, 1] / s)
         K = K.at[0, 2].set((K[0, 2] + 0.5) / s - 0.5)
@@ -145,7 +149,9 @@ def photometric_ba_global(
 
     # Host intensities: ONE fetch per point, broadcast over its edges.
     I_host_p = jax.vmap(
-        lambda hi, uv: bilinear_sample_stack(images, hi, uv)
+        lambda hi, uv: bilinear_sample_stack(
+            images, hi, uv, channel_first=True
+        )
     )(problem.host_idx, host_uv)  # [P, C]
     I_host_e = I_host_p[e_point]
 
@@ -169,7 +175,7 @@ def photometric_ba_global(
     def evaluate(poses, depths):
         r, geom = edges_evaluate(
             poses, depths, e_dest, e_host, e_point, e_dir, I_host_e,
-            images, K,
+            images, K, channel_first=True,
         )
         r_norm = jnp.linalg.norm(r, axis=-1)
         w = (

@@ -644,19 +644,23 @@ class Map:
             f.image.dtype == np.uint8 and f.a == 1.0 and f.b == 0.0
             for f in kfs
         )
+        # CHANNEL-FIRST stack: a C=3-minor f32 array on TPU is tiled with
+        # the lane dim padded 3 -> 128 (42.7x HBM = 20 GB at F=128
+        # full-res); transposing on the host keeps (H, W) minor so the
+        # device copy is compact (see slam/global_ba.py docstring).
         if uint8_ok:
-            stack = np.zeros((F, H, W, 3), np.uint8)
+            stack = np.zeros((F, 3, H, W), np.uint8)
             for i, f in enumerate(kfs):
-                stack[i] = f.image
+                stack[i] = f.image.transpose(2, 0, 1)
         else:
-            stack = np.zeros((F, H, W, 3), np.float32)
+            stack = np.zeros((F, 3, H, W), np.float32)
             for i, f in enumerate(kfs):
                 img = np.asarray(f.image, np.float32)
                 if f.image.dtype == np.uint8:
                     img = img / 255.0
                 if img.ndim == 2:
                     img = np.repeat(img[..., None], 3, axis=-1)
-                stack[i] = f.a * img + f.b
+                stack[i] = (f.a * img + f.b).transpose(2, 0, 1)
 
         host_uv = np.zeros((P, 2), np.float32)
         host_i = np.zeros(P, np.int32)

@@ -130,7 +130,10 @@ def _run_banded(pb, pad_f=0, pad_p=0, **kw):
     weight = np.zeros(P, np.float32)
     weight[:P_REAL] = pb["weight"]
     problem = GlobalBAProblem(
-        images=jnp.asarray(images), K=pb["K"], poses=poses, depths=depths,
+        # channel-first stack — the GlobalBAProblem contract (C-minor f32
+        # arrays are lane-padded 3 -> 128 on TPU, see global_ba docstring)
+        images=jnp.asarray(images.transpose(0, 3, 1, 2)),
+        K=pb["K"], poses=poses, depths=depths,
         host_uv=host_uv, host_idx=host_idx, obs_off=obs_off, weight=weight,
     )
     return photometric_ba_global(
@@ -208,7 +211,9 @@ def test_banded_improves_noisy_poses():
         [gt_depths[0][int(v), int(u)] for u, v in uv], np.float32
     )
     problem = GlobalBAProblem(
-        images=jnp.asarray(frames, jnp.float32),
+        images=jnp.asarray(
+            np.asarray(frames, np.float32).transpose(0, 3, 1, 2)
+        ),
         K=jnp.asarray(K, jnp.float32),
         poses=jnp.asarray(poses),
         depths=jnp.asarray(d_gt),
