@@ -225,7 +225,9 @@ def synthetic_slam_sequence(
     seed: int = 0,
     step_translation: float = 0.01,
     step_rotation: float = 0.002,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    distractor: "str | None" = None,
+    flicker_amp: float = 0.3,
+):
     """Temporally coherent camera sweep for SLAM-loop benchmarks/tests.
 
     Returns (frames [N, H, W, 3] float32 in [0,1], K [4,4], gt_poses
@@ -234,13 +236,50 @@ def synthetic_slam_sequence(
     corners; each frame is the slanted plane seen along a smooth random-walk
     camera path (inverse-warp render, exact for the planar scene away from
     borders — same scheme as :func:`synthetic_vo_batch`).
+
+    ``distractor="flicker"`` replaces a rectangular patch of the plane with
+    :func:`_distractor_texture` whose gain swings by ``±flicker_amp``
+    independently per frame — the photometric-violation fixture for
+    uncertainty training (the scene geometry is untouched; only constancy
+    breaks, exactly in the distinctively textured region). The return then
+    gains a 4th element ``masks [N, H, W] bool`` (pixels sampling the
+    patch). The ``"moving"`` distractor needs real occlusion and lives in
+    :func:`synthetic_multidepth_sequence` only.
     """
+    if distractor not in (None, "none", "flicker"):
+        raise ValueError(
+            f"slam_sequence distractor must be 'flicker' (got {distractor!r})"
+        )
+    if distractor == "none":
+        distractor = None
     rng = np.random.default_rng(seed)
     # Blocky high-contrast texture: 8x8 cells + smooth shading.
     cells = rng.uniform(size=(height // 8 + 1, width // 8 + 1, 3)).astype(np.float32)
     blocky = np.repeat(np.repeat(cells, 8, axis=0), 8, axis=1)[:height, :width]
     tex = 0.75 * blocky + 0.25 * smooth_texture(rng, 1, height, width)[0]
-    target = jnp.asarray(tex[None])
+
+    patch = None
+    if distractor:
+        drng = np.random.default_rng(seed * 7919 + 13)
+        gains = 1.0 + flicker_amp * drng.uniform(-1, 1, size=n_frames)
+        r0, r1 = int(0.15 * height), int(0.45 * height)
+        c0, c1 = int(0.55 * width), int(0.85 * width)
+        jj, ii = np.meshgrid(np.arange(c0, c1), np.arange(r0, r1))
+        # ~12 px checker period at any resolution (coords in units of
+        # 0.005*px against the 0.06 world cell).
+        patch = _distractor_texture(jj * 0.005, ii * 0.005)
+        patch_mask = np.zeros((1, height, width, 1), np.float32)
+        patch_mask[0, r0:r1, c0:c1, 0] = 1.0
+        mask_dev = jnp.asarray(patch_mask)
+
+    def tex_for(i):
+        if patch is None:
+            return tex
+        t = tex.copy()
+        t[r0:r1, c0:c1] = np.clip(patch * gains[i], 0.0, 1.0)
+        return t
+
+    target = jnp.asarray(tex_for(0)[None])
 
     depth = jnp.asarray(plane_depth(1, height, width))
     K_np = default_intrinsics(height, width)
@@ -250,6 +289,7 @@ def synthetic_slam_sequence(
 
     frames = [np.asarray(target[0])]
     poses = [np.eye(4, dtype=np.float32)]
+    masks = [np.asarray(patch_mask[0, ..., 0] > 0.5)] if distractor else None
     T_cw = jnp.eye(4)[None]
     for i in range(1, n_frames):
         aa = jnp.asarray(
@@ -261,14 +301,49 @@ def synthetic_slam_sequence(
         T_rel = transformation_from_parameters(aa, t)  # prev -> cur camera
         T_cw = T_rel @ T_cw
         grid = project(pts, K, invert_se3(T_cw))
+        if distractor:
+            target = jnp.asarray(tex_for(i)[None])
         view = grid_sample(target, grid, align_corners=True, padding_mode="border")
         frames.append(np.asarray(view[0]))
         poses.append(np.asarray(T_cw[0], np.float32))
-    return (
+        if distractor:
+            m = grid_sample(
+                mask_dev, grid, align_corners=True, padding_mode="zeros"
+            )
+            masks.append(np.asarray(m[0, ..., 0]) > 0.5)
+    out = (
         np.stack(frames).astype(np.float32),
         K_np.astype(np.float32),
         np.stack(poses),
     )
+    if distractor:
+        return out + (np.stack(masks),)
+    return out
+
+
+def _distractor_texture(x: np.ndarray, y: np.ndarray, cell: float = 0.06) -> np.ndarray:
+    """High-contrast magenta/green checker over world (x, y) — the
+    photometric-DISTRACTOR texture. Visually distinct from every other
+    fixture texture (``_cell_texture`` hashes, ``smooth_texture`` blobs),
+    so a learned uncertainty head can key on appearance alone: wherever
+    this texture appears, the rendered sequence violates photometric
+    constancy (per-frame gain flicker or rigid motion), exactly the
+    image regions D3VO's uncertainty head exists to down-weight
+    (reference ``slam/optimizer.py:126,179`` stores the weights; its
+    runnable path feeds zeros)."""
+    u, v = x / cell, y / cell
+    iu, iv = np.floor(u), np.floor(v)
+    fu, fv = u - iu, v - iv
+    # Continuous (sharpened) checker — pointwise-sampled hard steps would
+    # make even the STATIC rendering photometrically inconsistent.
+    su = np.clip((fu - 0.4) / 0.2, 0.0, 1.0)
+    sv = np.clip((fv - 0.4) / 0.2, 0.0, 1.0)
+    par = (iu + iv) % 2
+    t = par + (1 - 2 * par) * (su + sv - 2 * su * sv)
+    t = np.asarray(t, np.float32)[..., None]
+    magenta = np.array([0.95, 0.08, 0.90], np.float32)
+    green = np.array([0.08, 0.90, 0.15], np.float32)
+    return t * magenta + (1.0 - t) * green
 
 
 def _hash_cells(ix: np.ndarray, iy: np.ndarray, salt: float) -> np.ndarray:
@@ -309,7 +384,10 @@ def synthetic_multidepth_sequence(
     seed: int = 0,
     step_translation: float = 0.01,
     step_rotation: float = 0.002,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    distractor: "str | None" = None,
+    flicker_amp: float = 0.3,
+    move_amp: float = 0.18,
+):
     """Ray-cast camera sweep over a PIECEWISE-PLANAR scene: a background
     plane plus raised foreground slabs at distinct depths, every frame an
     exact analytic render (per-pixel ray/plane intersection + z-buffer,
@@ -323,7 +401,28 @@ def synthetic_multidepth_sequence(
     measure real accuracy, not gauge drift. Returns
     ``(frames [N, H, W, 3], K [4, 4], gt_T_cw [N, 4, 4],
     depths [N, H, W])`` with exact metric GT depth per frame.
+
+    ``distractor`` adds a photometric-violation slab textured with
+    :func:`_distractor_texture` (the fixture behind the D3VO uncertainty
+    path — reference ``slam/optimizer.py:126,179`` weights, fed zeros by
+    its runnable driver):
+
+      - ``"flicker"``: the slab's gain swings by ``±flicker_amp``
+        independently per frame (exposure/specular-style violation);
+      - ``"moving"``: the slab translates along world x on a smooth cycle
+        of amplitude ``move_amp`` meters (dynamic-object violation; its
+        texture rides the slab, GT depth includes the object where it
+        ACTUALLY is each frame, but camera-only geometry cannot explain
+        its pixels).
+
+    With a distractor the return gains a 5th element ``masks
+    [N, H, W] bool`` — pixels rendered from the distractor slab (the
+    oracle uncertainty region for ablations).
     """
+    if distractor not in (None, "none", "flicker", "moving"):
+        raise ValueError(f"unknown distractor {distractor!r}")
+    if distractor == "none":
+        distractor = None
     rng = np.random.default_rng(seed)
     K = default_intrinsics(height, width)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
@@ -338,13 +437,24 @@ def synthetic_multidepth_sequence(
         (0.2, 1.5, -0.45, 1.0, 2.5, 0.11, 3.0),
         (-0.5, 0.45, 0.5, 1.6, 1.6, 0.08, 4.0),
     ]
+    # Distractor slab: in front of the background, clear of the three
+    # static foreground slabs, near the image center at frame 0.
+    D_BOUNDS = (-0.05, 0.75, -1.05, -0.3)
+    D_Z = 2.2
+    if distractor:
+        drng = np.random.default_rng(seed * 7919 + 13)
+        gains = 1.0 + flicker_amp * drng.uniform(-1, 1, size=n_frames)
+        # Smooth one-cycle sweep; per-frame offset is deterministic in i.
+        offsets = move_amp * np.sin(
+            2 * np.pi * np.arange(n_frames) / max(n_frames - 1, 1)
+        )
 
     u, v = np.meshgrid(
         np.arange(width, dtype=np.float64), np.arange(height, dtype=np.float64)
     )
     d_cam = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
 
-    frames, depths, poses = [], [], []
+    frames, depths, poses, masks = [], [], [], []
     T_cw = np.eye(4, dtype=np.float64)
     for i in range(n_frames):
         if i:
@@ -362,9 +472,18 @@ def synthetic_multidepth_sequence(
         C = T_wc[:3, 3]
         d_w = d_cam @ T_wc[:3, :3].T  # world ray dirs; |d_cam.z| = 1 => lam = cam depth
 
+        frame_slabs = list(slabs)
+        if distractor:
+            ox = offsets[i] if distractor == "moving" else 0.0
+            x0, x1, y0, y1 = D_BOUNDS
+            frame_slabs.append(
+                (x0 + ox, x1 + ox, y0, y1, D_Z, "distractor", ox)
+            )
+
         best_lam = np.full((height, width), 1e6)
         img = np.zeros((height, width, 3), np.float32)
-        for (x0, x1, y0, y1, z0, cell, salt) in slabs:
+        dmask = np.zeros((height, width), bool)
+        for (x0, x1, y0, y1, z0, cell, salt) in frame_slabs:
             dz = d_w[..., 2]
             lam = (z0 - C[2]) / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
             Xx = C[0] + lam * d_w[..., 0]
@@ -375,20 +494,34 @@ def synthetic_multidepth_sequence(
                 & (Xx >= x0) & (Xx <= x1) & (Xy >= y0) & (Xy <= y1)
             )
             if not hit.any():
+                if cell == "distractor":
+                    dmask &= False
                 continue
-            tex = _cell_texture(Xx[hit], Xy[hit], salt, cell)
+            if cell == "distractor":
+                # Texture rides the slab (subtract the motion offset) so a
+                # moving distractor looks rigid; flicker scales the gain.
+                tex = _distractor_texture(Xx[hit] - salt, Xy[hit])
+                if distractor == "flicker":
+                    tex = np.clip(tex * gains[i], 0.0, 1.0)
+                dmask = hit  # z-buffer: later slabs never overwrite these
+            else:
+                tex = _cell_texture(Xx[hit], Xy[hit], salt, cell)
             img[hit] = tex
             best_lam = np.where(hit, lam, best_lam)
         frames.append(img)
         depths.append(best_lam.astype(np.float32))
         poses.append(T_cw.astype(np.float32).copy())
+        masks.append(dmask)
 
-    return (
+    out = (
         np.stack(frames),
         K.astype(np.float32),
         np.stack(poses),
         np.stack(depths),
     )
+    if distractor:
+        return out + (np.stack(masks),)
+    return out
 
 
 class SyntheticVoDataset:

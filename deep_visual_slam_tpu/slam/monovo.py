@@ -35,10 +35,29 @@ class Networks:
         max_depth: float = 10.0,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        predict_uncertainty: bool = False,
+        unc_sigma_floor: float = 0.1,
+        unc_weight_scale: float = 100.0,
     ):
+        """``predict_uncertainty`` enables the DepthNet D3VO uncertainty
+        head (``from_checkpoint`` auto-detects it from the parameter tree).
+        The head's sigma map becomes the per-keyframe uncertainty feeding
+        the BA Eq.13 weights alpha^2/(alpha^2+unc) via
+
+            unc = unc_weight_scale * max(sigma^2 - unc_sigma_floor^2, 0)
+
+        so pixels at or below the calibrated noise floor get unc = 0 —
+        weight EXACTLY 1, bit-identical to the zero-uncertainty path on
+        clean scenes (no-harm by construction) — while violated pixels
+        (sigma ~ 0.3 under the flicker fixture) land near weight ~ 0.03."""
         H, W = image_shape
         self.image_shape = image_shape
-        self.depth_model = DepthNet(dtype=dtype)
+        self.predict_uncertainty = predict_uncertainty
+        self._unc_floor = float(unc_sigma_floor)
+        self._unc_scale = float(unc_weight_scale)
+        self.depth_model = DepthNet(
+            dtype=dtype, predict_uncertainty=predict_uncertainty
+        )
         self.pose_model = PoseNet(dtype=dtype)
         key = jax.random.PRNGKey(seed)
         if depth_variables is None:
@@ -249,6 +268,7 @@ class MonoVO:
         optimize: bool = True,
         oracle_depth: Optional[np.ndarray] = None,
         oracle_rel: Optional[np.ndarray] = None,
+        oracle_uncertainty: Optional[np.ndarray] = None,
     ):
         """Run one RGB frame ([H, W, 3] float [0,1]) through the pipeline.
 
@@ -261,12 +281,18 @@ class MonoVO:
         backend-isolation hook used by ``scripts/ba_ablation.py`` to
         evaluate the BA backend from a controlled (e.g. GT-plus-noise)
         initialization, independent of network training state.
+        ``oracle_uncertainty`` ([H, W] float) injects a D3VO uncertainty
+        map for THIS frame (keyframes read it into the BA weights
+        ``alpha^2/(alpha^2+unc)``, ``slam/map.py``): the
+        distractor-ablation hook that validates the Eq.13 weighting path
+        independent of a trained uncertainty head.
         """
         if self.klt is not None:
             return self._process_frame_klt(
-                frame, optimize, oracle_depth, oracle_rel
+                frame, optimize, oracle_depth, oracle_rel, oracle_uncertainty
             )
-        if oracle_depth is not None or oracle_rel is not None:
+        if (oracle_depth is not None or oracle_rel is not None
+                or oracle_uncertainty is not None):
             raise ValueError("oracle injection requires the KLT frontend")
         return self._process_frame_orb(frame, optimize)
 
@@ -277,6 +303,7 @@ class MonoVO:
         optimize: bool,
         oracle_depth: Optional[np.ndarray] = None,
         oracle_rel: Optional[np.ndarray] = None,
+        oracle_uncertainty: Optional[np.ndarray] = None,
     ):
         """TPU-native per-frame step: ONE fused device dispatch computes
         depth + relative pose + LK track updates; the host only does pose
@@ -341,9 +368,16 @@ class MonoVO:
             kf_depth = np.array(src)
             if depth is not None:
                 depth = kf_depth
+        if is_kf:
+            unc = (
+                np.asarray(oracle_uncertainty, np.float32)
+                if oracle_uncertainty is not None
+                else self._zero_uncertainty(frame.shape[:2])
+            )
+        else:
+            unc = None
         f = Frame(
-            self.mp, np.asarray(frame), kf_depth,
-            self._zero_uncertainty(frame.shape[:2]) if is_kf else None,
+            self.mp, np.asarray(frame), kf_depth, unc,
             pose_global, (a, b), features=(self.klt.kps_int(), None),
         )
         detect_delta = 0.0

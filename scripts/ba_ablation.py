@@ -99,7 +99,7 @@ def make_oracle_inits(gt_cw, gt_depths, seed, rot_std_deg, trans_std,
 def run_once(nn_factory, frames, K, optimize: bool, global_ba: bool,
              ba_levels=(2, 1), oracle=None, depth_damping=1.0,
              pose_prior_weight=1e3, frontend="klt",
-             estimate_affine=False, huber_delta=0.11):
+             estimate_affine=False, huber_delta=0.11, uncs=None):
     """One SLAM pass; returns (traj T_wc [N,4,4], keyframe ids, seconds)."""
     from deep_visual_slam_tpu.slam import MonoVO
 
@@ -112,6 +112,8 @@ def run_once(nn_factory, frames, K, optimize: bool, global_ba: bool,
         kw = {}
         if oracle is not None:
             kw = dict(oracle_depth=oracle[0][i], oracle_rel=oracle[1][i])
+        if uncs is not None:
+            kw["oracle_uncertainty"] = uncs[i]
         vo.process_frame(f, optimize=optimize, **kw)
     if global_ba and len(vo.mp.keyframes) >= 2:
         vo.mp.global_bundle_adjustment(K, verbose=False)
@@ -191,6 +193,19 @@ def main() -> None:
                     help="estimate per-frame brightness (a, b) inside BA "
                     "(ba.photometric_ba estimate_affine — the D3VO affine "
                     "the reference stores but never exercises)")
+    ap.add_argument("--distractor", choices=("none", "flicker", "moving"),
+                    default="none",
+                    help="add a photometric-violation region to every scene "
+                    "(flicker: per-frame gain swings on a distinctively "
+                    "textured slab; moving: the slab translates — multidepth "
+                    "only). Adds a windowed_ba_unc config row: BA with the "
+                    "ORACLE uncertainty map (the distractor mask) feeding "
+                    "the D3VO Eq.13 weights that the reference stores but "
+                    "feeds zeros (slam/optimizer.py:126,179)")
+    ap.add_argument("--oracle_unc_value", type=float, default=24.0,
+                    help="uncertainty value inside the distractor mask "
+                    "(weight = alpha^2/(alpha^2+unc) with alpha=0.5: 24 -> "
+                    "w ~ 0.01; outside the mask unc=0 -> w=1)")
     ap.add_argument("--exposure_ramp", type=float, default=0.0,
                     help="apply a multiplicative exposure ramp across the "
                     "sequence: frame i gain = 1 + ramp*(2*i/(N-1) - 1), "
@@ -213,11 +228,24 @@ def main() -> None:
     nn, provenance = load_networks(args.vo_ckpt, (H, W))
     nn_factory = lambda: nn  # noqa: E731
 
+    distractor = None if args.distractor == "none" else args.distractor
+    if distractor == "moving" and args.scene != "multidepth":
+        ap.error("--distractor moving requires --scene multidepth")
+
     configs = {
         "no_ba": dict(optimize=False, global_ba=False),
         "windowed_ba": dict(optimize=True, global_ba=False),
         "windowed_plus_global_ba": dict(optimize=True, global_ba=True),
     }
+    if distractor:
+        # BA with the oracle D3VO uncertainty (distractor mask) — isolates
+        # the Eq.13 weighting path from uncertainty-head training state.
+        configs["windowed_ba_unc"] = dict(
+            optimize=True, global_ba=False, oracle_unc=True
+        )
+        configs["windowed_plus_global_ba_unc"] = dict(
+            optimize=True, global_ba=True, oracle_unc=True
+        )
     record = {
         "provenance": {
             "data": f"synthetic {args.scene} scenes ({len(args.seeds)} "
@@ -235,6 +263,10 @@ def main() -> None:
             "estimate_affine": args.estimate_affine,
             "exposure_ramp": args.exposure_ramp,
             "huber_delta": args.huber_delta,
+            "distractor": args.distractor,
+            "oracle_unc_value": (
+                args.oracle_unc_value if distractor else None
+            ),
             "oracle_noise": (
                 dict(rot_deg=args.rot_noise_deg, trans=args.trans_noise,
                      depth=args.depth_noise)
@@ -255,18 +287,34 @@ def main() -> None:
                  "requires the KLT frontend)")
 
     for seed in args.seeds:
+        masks = None
         if args.scene == "multidepth":
-            frames, K, gt_cw, gt_depths = synthetic_multidepth_sequence(
+            out = synthetic_multidepth_sequence(
                 args.frames, H, W, seed=seed,
                 step_translation=args.step_translation,
                 step_rotation=args.step_rotation,
+                distractor=distractor,
             )
+            if distractor:
+                frames, K, gt_cw, gt_depths, masks = out
+            else:
+                frames, K, gt_cw, gt_depths = out
         else:
-            frames, K, gt_cw = synthetic_slam_sequence(
+            out = synthetic_slam_sequence(
                 args.frames, H, W, seed=seed,
                 step_translation=args.step_translation,
                 step_rotation=args.step_rotation,
+                distractor=distractor,
             )
+            if distractor:
+                frames, K, gt_cw, masks = out
+            else:
+                frames, K, gt_cw = out
+        uncs = None
+        if masks is not None:
+            uncs = [
+                (m.astype(np.float32) * args.oracle_unc_value) for m in masks
+            ]
         if args.exposure_ramp:
             # Per-frame multiplicative exposure sweeping 1-r -> 1+r — the
             # fixture where photometric BA WITHOUT affine terms degrades
@@ -296,6 +344,7 @@ def main() -> None:
                 frontend=args.frontend,
                 estimate_affine=args.estimate_affine,
                 huber_delta=args.huber_delta,
+                uncs=uncs if cfg.get("oracle_unc") else None,
             )
             m = evaluate(traj, gt_cw, kf_ids)
             m["seconds"] = round(secs, 1)
