@@ -116,7 +116,7 @@ def _klt_device_components(vo, frames) -> dict:
     # 1) fused net + LK-track step (the every-frame dispatch).
     def step_body(carry, cur):
         prev, pyr, uv, alive = carry
-        depth, T, pyr2, uv2, ok = fe._step_fn(prev, pyr, cur, uv, alive)
+        depth, _unc, T, pyr2, uv2, ok = fe._step_fn(prev, pyr, cur, uv, alive)
         return (cur, pyr2, uv2, ok), (T[:, 0, 3], depth.mean())
 
     @jax.jit

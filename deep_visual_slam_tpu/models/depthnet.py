@@ -227,6 +227,7 @@ class DepthDecoder(nn.Module):
     use_skips: bool = True
     dtype: Any = jnp.float32
     phase_fused: bool = True
+    predict_uncertainty: bool = False
 
     @nn.compact
     def __call__(
@@ -255,6 +256,15 @@ class DepthDecoder(nn.Module):
                     self.num_output_channels, self.dtype, name=f"dispconv_{i}"
                 )(x)
                 outputs[("disp", i)] = nn.sigmoid(disp.astype(jnp.float32))
+            if i == 0 and self.predict_uncertainty:
+                # D3VO-style photometric-uncertainty head (the reference
+                # STORES per-frame uncertainty but its runnable path feeds
+                # zeros, slam/MonoVO.py:19-27 / slam/optimizer.py:126,179).
+                # Sigmoid sigma in [0, 1] intensity units, full resolution.
+                unc = ReflectConv3x3(
+                    self.num_output_channels, self.dtype, name="uncconv_0"
+                )(x)
+                outputs[("unc", 0)] = nn.sigmoid(unc.astype(jnp.float32))
         return outputs
 
     def _phase_disp(self, y: jnp.ndarray, F: int, name: str) -> jnp.ndarray:
@@ -305,6 +315,10 @@ class DepthDecoder(nn.Module):
         y = nn.elu(y)  # phase-domain [B, h, w, 4F]
         if 0 in self.scales:
             outputs[("disp", 0)] = self._phase_disp(y, F, "dispconv_0")
+        if self.predict_uncertainty:
+            # Same phase-major sigmoid-head machinery as dispconv_0 (the
+            # head is an independent 3x3 conv over the same tensor).
+            outputs[("unc", 0)] = self._phase_disp(y, F, "uncconv_0")
         return outputs
 
     def _fused_tail(self, x: jnp.ndarray, skip: jnp.ndarray, outputs):
@@ -358,6 +372,7 @@ class DepthNet(nn.Module):
     dtype: Any = jnp.float32
     bn_axis_name: str | None = None
     phase_fused: bool = True
+    predict_uncertainty: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, stem_out=None):
@@ -374,5 +389,6 @@ class DepthNet(nn.Module):
             use_skips=self.use_skips,
             dtype=self.dtype,
             phase_fused=self.phase_fused,
+            predict_uncertainty=self.predict_uncertainty,
             name="decoder",
         )(features)

@@ -92,7 +92,8 @@ class KLTFrontend:
 
         @jax.jit
         def _step(prev_img, prev_pyr, cur_img, uv, alive):
-            """ONE dispatch: depth(cur) + pose(prev->cur) + LK track."""
+            """ONE dispatch: depth(cur) + pose(prev->cur) + LK track (+ the
+            D3VO uncertainty map when the head is enabled)."""
             prev_img, cur_img = _f01(prev_img), _f01(cur_img)
             disps, (aa, t) = fused(nn._dv, nn._pv, prev_img, cur_img)
             _, depth = disp_to_depth(
@@ -103,7 +104,7 @@ class KLTFrontend:
             uv2, ok, err = track_points(
                 prev_pyr, pyr, uv, alive, win=win, iters=iters, max_err=max_err
             )
-            return depth[..., 0], T, pyr, uv2, ok
+            return depth[..., 0], nn._sigma_to_unc(disps), T, pyr, uv2, ok
 
         @jax.jit
         def _pyramid(img):
@@ -137,13 +138,14 @@ class KLTFrontend:
     # ------------------------------------------------------------- tracking
     def step(self, prev_img_dev, cur_img_dev):
         """Fused net+track dispatch; returns (depth [1,H,W] DEVICE array,
-        T_rel [4,4] np) and updates the device track state (host copies too).
+        unc [1,H,W] DEVICE array or None, T_rel [4,4] np) and updates the
+        device track state (host copies too).
 
         Only the small state crosses to the host here — the track table
         (~2.5 KB) and the 4x4 pose; the dense depth map stays on device so
         callers that don't need it per frame (keyframe-only BA, no depth
         video) skip a megabyte-scale D2H transfer per frame."""
-        depth, T, pyr, uv2, ok = self._step_fn(
+        depth, unc, T, pyr, uv2, ok = self._step_fn(
             prev_img_dev, self._pyr, cur_img_dev, self._uv_dev, self._alive_dev
         )
         self._pyr = pyr
@@ -153,7 +155,7 @@ class KLTFrontend:
         # table is mutated in-place by keyframe replenishment.
         self.uv = np.array(uv2)
         self.alive = np.array(ok)
-        return depth, np.asarray(T[0], np.float64)
+        return depth, unc, np.asarray(T[0], np.float64)
 
     def init_first(self, img_dev) -> None:
         """First frame: build the pyramid and fill the table by detection."""

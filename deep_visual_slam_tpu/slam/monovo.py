@@ -80,13 +80,24 @@ class Networks:
                 return img.astype(jnp.float32) / 255.0
             return img
 
+        unc_floor2 = self._unc_floor ** 2
+        unc_scale = self._unc_scale
+
+        def _sigma_to_unc(disps):
+            """Head sigma map -> BA uncertainty (None when the head is
+            off): unc = scale * max(sigma^2 - floor^2, 0)."""
+            if not predict_uncertainty:
+                return None
+            sigma = disps[("unc", 0)][..., 0]
+            return unc_scale * jnp.maximum(sigma * sigma - unc_floor2, 0.0)
+
         @jax.jit
         def _depth(img):
             disps = self.depth_model.apply(self._dv, _f01(img), train=False)
             _, depth = disp_to_depth(
                 disps[("disp", 0)], self.min_depth, self.max_depth
             )
-            return depth[..., 0]
+            return depth[..., 0], _sigma_to_unc(disps)
 
         @jax.jit
         def _pose(img1, img2):
@@ -112,11 +123,14 @@ class Networks:
                 disps[("disp", 0)], self.min_depth, self.max_depth
             )
             T = transformation_from_parameters(aa[:, 0, 0], t[:, 0, 0])
-            return depth[..., 0], T
+            return depth[..., 0], _sigma_to_unc(disps), T
 
         self._depth_fn = _depth
         self._pose_fn = _pose
         self._step_fn = _step
+        # Exposed for fused consumers (KLTFrontend builds its own fused
+        # dispatch and maps the head sigma the same way).
+        self._sigma_to_unc = _sigma_to_unc
 
     @classmethod
     def from_checkpoint(cls, ckpt_dir: str, **kwargs) -> "Networks":
@@ -130,6 +144,12 @@ class Networks:
             raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
         tree, step = loaded
         print(f"Networks.from_checkpoint: {ckpt_dir} @ step {step}")
+        # Auto-detect the D3VO uncertainty head from the parameter tree
+        # (class docstring): a checkpoint trained with the head restores
+        # with it enabled; callers can still override explicitly.
+        if "predict_uncertainty" not in kwargs:
+            dec = tree["params"]["depth"].get("decoder", {})
+            kwargs["predict_uncertainty"] = "uncconv_0" in dec
         return cls(
             depth_variables={"params": tree["params"]["depth"],
                              "batch_stats": tree["batch_stats"]["depth"]},
@@ -140,8 +160,15 @@ class Networks:
 
     def depth(self, image: np.ndarray) -> np.ndarray:
         """[H, W, 3] float-or-uint8 image -> [H, W] metric depth."""
-        out = self._depth_fn(self.to_device(image))
-        return np.asarray(out[0])
+        d, _ = self._depth_fn(self.to_device(image))
+        return np.asarray(d[0])
+
+    def depth_unc(self, image: np.ndarray):
+        """([H, W] metric depth, [H, W] BA uncertainty or None) — the
+        uncertainty is the head's sigma mapped through the Eq.13 transfer
+        (class docstring); None when ``predict_uncertainty`` is off."""
+        d, u = self._depth_fn(self.to_device(image))
+        return np.asarray(d[0]), (None if u is None else np.asarray(u[0]))
 
     def pose(self, image1: np.ndarray, image2: np.ndarray) -> np.ndarray:
         """Relative transform prev->cur as a 4x4 (prev frame 1, cur frame 2)."""
@@ -152,15 +179,16 @@ class Networks:
         """Fused per-frame inference: ([H,W] depth of ``image``, 4x4 relative
         transform prev->cur) in a single device dispatch. Accepts host or
         (already-uploaded) device arrays."""
-        depth, T = self._step_fn(
+        depth, _, T = self._step_fn(
             self.to_device(prev_image), self.to_device(image)
         )
         return np.asarray(depth[0]), np.asarray(T[0], np.float64)
 
     def step_async(self, prev_image, image):
         """Dispatch the fused step WITHOUT synchronizing — returns device
-        arrays. The caller overlaps host work (ORB, matching) with the
-        accelerator and materializes the results afterwards."""
+        arrays ``(depth, unc-or-None, T)``. The caller overlaps host work
+        (ORB, matching) with the accelerator and materializes the results
+        afterwards."""
         return self._step_fn(self.to_device(prev_image), self.to_device(image))
 
     @staticmethod
@@ -316,16 +344,17 @@ class MonoVO:
         cur_dev = self.nn.to_device(frame)
         first = len(self.mp.frames) == 0
         depth_dev = None
+        unc_dev = None
         if first:
-            depth = (
-                np.asarray(oracle_depth, np.float32)
-                if oracle_depth is not None
-                else self.nn.depth(frame)
-            )
+            if oracle_depth is not None:
+                depth = np.asarray(oracle_depth, np.float32)
+            else:
+                depth, net_unc = self.nn.depth_unc(frame)
+                unc_dev = net_unc  # host array; handled uniformly below
             pose_global = np.eye(4)
             self.klt.init_first(cur_dev)
         else:
-            depth_dev, rel = self.klt.step(self._prev_dev, cur_dev)
+            depth_dev, unc_dev, rel = self.klt.step(self._prev_dev, cur_dev)
             if oracle_depth is not None:
                 depth = np.asarray(oracle_depth, np.float32)
             else:
@@ -369,11 +398,17 @@ class MonoVO:
             if depth is not None:
                 depth = kf_depth
         if is_kf:
-            unc = (
-                np.asarray(oracle_uncertainty, np.float32)
-                if oracle_uncertainty is not None
-                else self._zero_uncertainty(frame.shape[:2])
-            )
+            # Keyframe uncertainty precedence: oracle injection (ablation
+            # hook) > the trained D3VO head (``Networks
+            # predict_uncertainty``) > the shared zero map (reference
+            # runnable-path parity, slam/MonoVO.py:19-27).
+            if oracle_uncertainty is not None:
+                unc = np.asarray(oracle_uncertainty, np.float32)
+            elif unc_dev is not None:
+                u = np.asarray(unc_dev, np.float32)
+                unc = u[0] if u.ndim == 3 else u
+            else:
+                unc = self._zero_uncertainty(frame.shape[:2])
         else:
             unc = None
         f = Frame(
@@ -443,19 +478,24 @@ class MonoVO:
             prev_f = self.mp.frames[-1]
             match = match_descriptors(prev_f.des, feats[1])
 
+        net_unc = None
         if first:
-            depth = self.nn.depth(frame)
+            depth, net_unc = self.nn.depth_unc(frame)
             pose_global = np.eye(4)
         else:
             depth = np.asarray(pending[0][0])  # sync point
-            rel = np.asarray(pending[1][0], np.float64)
+            if pending[1] is not None:
+                net_unc = np.asarray(pending[1][0], np.float32)
+            rel = np.asarray(pending[2][0], np.float64)
             # Land any pipelined BA before chaining (see the KLT path for
             # the measured stale-rel failure this avoids).
             self.mp.flush_ba()
             # Frame pose is GLOBAL T_cw: compose the relative net pose onto
             # the previous frame's global (BA-refreshed) pose.
             pose_global = rel @ self.mp.frames[-1].current_pose()
-        uncertainty = np.zeros_like(depth)
+        uncertainty = (
+            net_unc if net_unc is not None else np.zeros_like(depth)
+        )
         a, b = 1.0, 0.0
         t1 = _time.perf_counter()
         self.timings["networks"] += t1 - t0

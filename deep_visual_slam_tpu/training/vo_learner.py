@@ -48,6 +48,14 @@ class VOLossConfig:
     ssim_ratio: float = 0.85
     smoothness_ratio: float = 1e-3
     auto_mask: bool = True
+    # D3VO heteroscedastic photometric uncertainty (Yang et al. 2020, Eq.5;
+    # Kendall & Gal form): the DepthNet ("unc", 0) sigma head divides the
+    # min-reprojection residual and pays a +log(sigma) regularizer —
+    # sigma learns the per-pixel photometric-violation level, and at SLAM
+    # time feeds the BA Eq.13 weights (slam/monovo.py Networks docstring).
+    # The reference STORES per-frame uncertainty but never produces it
+    # (/root/reference/slam/MonoVO.py:19-27 feeds zeros).
+    uncertainty: bool = False
 
     @classmethod
     def from_config(cls, config: dict) -> "VOLossConfig":
@@ -59,6 +67,7 @@ class VOLossConfig:
             ssim_ratio=t["ssim_ratio"],
             smoothness_ratio=t["smoothness_ratio"],
             auto_mask=t.get("auto_mask", True),
+            uncertainty=t.get("predict_uncertainty", False),
         )
 
 
@@ -183,7 +192,18 @@ def compute_losses(
         else:
             to_optimise = jnp.min(reproj, axis=-1, keepdims=True)
 
-        loss = jnp.mean(to_optimise)
+        if cfg.uncertainty:
+            # D3VO Eq.5 applied to the auto-masked min-reprojection term:
+            # r/sigma + log(sigma), full-res sigma shared across scales
+            # (the head emits scale 0 only; every reprojection map here is
+            # already full-res). +0.01 floors the sigmoid so a saturated
+            # sigma cannot blow up the quotient; at the optimum
+            # sigma ~= r, so clean pixels settle near the floor and
+            # violated pixels grow sigma instead of dragging the pose.
+            sigma = outputs[("unc", 0)] + 0.01
+            loss = jnp.mean(to_optimise / sigma) + jnp.mean(jnp.log(sigma))
+        else:
+            loss = jnp.mean(to_optimise)
         smooth = normalized_smooth_loss(outputs[("disp_up", scale)], target)
         loss = loss + cfg.smoothness_ratio * smooth / (2**scale)
 

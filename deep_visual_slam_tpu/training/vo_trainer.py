@@ -71,9 +71,14 @@ class Trainer:
         self.batch_size = t["batch_size"]
 
         dtype = _dtype_from_config(config)
-        self.depth_model = DepthNet(dtype=dtype)
-        self.pose_model = PoseNet(dtype=dtype)
         self.loss_cfg = VOLossConfig.from_config(config)
+        # Train.predict_uncertainty grows the D3VO sigma head on DepthNet
+        # and switches the photometric term to the Eq.5 heteroscedastic
+        # form (vo_learner.VOLossConfig docstring).
+        self.depth_model = DepthNet(
+            dtype=dtype, predict_uncertainty=self.loss_cfg.uncertainty
+        )
+        self.pose_model = PoseNet(dtype=dtype)
 
         # Multi-host init: no-op single-process, jax.distributed on pods
         # (SURVEY.md §5.8; the reference is single-GPU, vo/train.py:423-431).

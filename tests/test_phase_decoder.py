@@ -109,3 +109,41 @@ def test_s2d_stem_equals_standard(rng):
                 np.asarray(b), np.asarray(a), atol=2e-5,
                 err_msg=f"imgs={cin_imgs} feature {i}",
             )
+
+
+def test_uncertainty_head_phase_parity(rng):
+    """predict_uncertainty adds the ("unc", 0) sigma head; both decoder
+    formulations agree on shared params and the param tree stays identical
+    across phase_fused (checkpoint compatibility)."""
+    H, W = 64, 96
+    feats = [
+        jnp.asarray(rng.normal(size=(1, H // f, W // f, c)).astype(np.float32))
+        for f, c in ((2, 64), (4, 64), (8, 128), (16, 256), (32, 512))
+    ]
+    std = DepthDecoder(
+        dtype=jnp.float32, phase_fused=False, predict_uncertainty=True
+    )
+    fused = DepthDecoder(
+        dtype=jnp.float32, phase_fused=True, predict_uncertainty=True
+    )
+    variables = std.init(jax.random.PRNGKey(0), feats)
+    out_std = std.apply(variables, feats)
+    out_fused = fused.apply(variables, feats)
+    assert ("unc", 0) in out_std and set(out_std) == set(out_fused)
+    assert out_std[("unc", 0)].shape == (1, H, W, 1)
+    u = np.asarray(out_std[("unc", 0)])
+    assert (u >= 0).all() and (u <= 1).all()  # sigmoid sigma
+    for k in out_std:
+        np.testing.assert_allclose(
+            np.asarray(out_fused[k]), np.asarray(out_std[k]),
+            atol=2e-6, err_msg=str(k),
+        )
+    # same tree STRUCTURE across phase_fused with the head on
+    x = jnp.zeros((1, H, W, 3), jnp.float32)
+    v1 = DepthNet(phase_fused=True, predict_uncertainty=True).init(
+        jax.random.PRNGKey(0), x
+    )
+    v2 = DepthNet(phase_fused=False, predict_uncertainty=True).init(
+        jax.random.PRNGKey(0), x
+    )
+    assert jax.tree_util.tree_structure(v1) == jax.tree_util.tree_structure(v2)

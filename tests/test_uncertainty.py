@@ -120,3 +120,67 @@ def test_oracle_uncertainty_downweights_ba_points(rng):
     assert (~in_mask).any()
     np.testing.assert_allclose(weight[:n_pts][in_mask], w_lo, rtol=1e-5)
     np.testing.assert_allclose(weight[:n_pts][~in_mask], 1.0, rtol=1e-5)
+
+
+def test_uncertainty_head_trains_toward_violations():
+    """The D3VO Eq.5 loss (VOLossConfig.uncertainty) actually trains the
+    sigma head: on a batch whose target carries a photometric violation
+    (a corrupted stripe no warp can explain), a few steps raise predicted
+    sigma inside the stripe relative to the clean region, and the head's
+    params receive gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    from deep_visual_slam_tpu.data.synthetic import synthetic_vo_batch
+    from deep_visual_slam_tpu.models import DepthNet, PoseNet
+    from deep_visual_slam_tpu.training import (
+        TrainState,
+        VOLossConfig,
+        init_vo_models,
+        make_optimizer,
+        make_vo_train_step,
+    )
+
+    h, w = 64, 96
+    depth_model = DepthNet(predict_uncertainty=True)
+    pose_model = PoseNet()
+    variables = init_vo_models(
+        depth_model, pose_model, (h, w), jax.random.PRNGKey(0)
+    )
+    p0 = np.asarray(
+        variables["params"]["depth"]["decoder"]["uncconv_0"]["Conv_0"]["kernel"]
+    ).copy()
+    state = TrainState.create(
+        variables["params"], variables["batch_stats"], make_optimizer(3e-4, 100)
+    )
+    cfg = VOLossConfig(uncertainty=True)
+    step = make_vo_train_step(depth_model, pose_model, cfg)
+
+    batch, _ = synthetic_vo_batch(0, 2, h, w)
+    batch = dict(batch)
+    # Photometric violation: a noise stripe in the TARGET only.
+    rng = np.random.default_rng(0)
+    tgt = np.array(batch["target_image"])
+    tgt[:, 24:40, :, :] = rng.uniform(size=tgt[:, 24:40].shape).astype(np.float32)
+    batch["target_image"] = jnp.asarray(tgt)
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(12):
+        key, sub = jax.random.split(key)
+        state, losses = step(state, batch, sub)
+        assert np.isfinite(float(losses["loss"]))
+
+    p1 = np.asarray(
+        state.params["depth"]["decoder"]["uncconv_0"]["Conv_0"]["kernel"]
+    )
+    assert np.abs(p1 - p0).max() > 0  # head receives gradient
+
+    out = depth_model.apply(
+        {"params": state.params["depth"],
+         "batch_stats": state.batch_stats["depth"]},
+        batch["target_image"], train=False,
+    )
+    sigma = np.asarray(out[("unc", 0)])[..., 0]
+    violated = sigma[:, 24:40, :].mean()
+    clean = np.concatenate([sigma[:, :24, :], sigma[:, 40:, :]], axis=1).mean()
+    assert violated > clean, (violated, clean)
